@@ -1,0 +1,10 @@
+from .bss_eval import BssEvalResult, bss_eval_sources
+from .sisdr import MeanSiSdr, permute_si_sdr, si_sdr_np
+
+__all__ = [
+    "BssEvalResult",
+    "bss_eval_sources",
+    "MeanSiSdr",
+    "permute_si_sdr",
+    "si_sdr_np",
+]
