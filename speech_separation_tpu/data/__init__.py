@@ -1,0 +1,40 @@
+from .audio_io import audioread, audiowrite, read_normalized, read_wav, wait_for_pending_writes
+from .datasets import (
+    SpectrogramBatch,
+    VaeBatch,
+    VaeLoader,
+    WaveformBatch,
+    WaveformLoader,
+    load_tfrecord_spectrograms,
+    prefetch_to_device,
+)
+from .features import FeatureConfig, generate_split, max_length, utterance_names
+from .tfrecord import (
+    build_sequence_example,
+    parse_sequence_example,
+    read_tfrecord_file,
+    write_tfrecord_file,
+)
+
+__all__ = [
+    "audioread",
+    "audiowrite",
+    "read_normalized",
+    "read_wav",
+    "wait_for_pending_writes",
+    "SpectrogramBatch",
+    "VaeBatch",
+    "VaeLoader",
+    "WaveformBatch",
+    "WaveformLoader",
+    "load_tfrecord_spectrograms",
+    "prefetch_to_device",
+    "FeatureConfig",
+    "generate_split",
+    "max_length",
+    "utterance_names",
+    "build_sequence_example",
+    "parse_sequence_example",
+    "read_tfrecord_file",
+    "write_tfrecord_file",
+]

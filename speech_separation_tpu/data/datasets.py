@@ -1,0 +1,284 @@
+"""Batching and host→device data loading.
+
+Replaces the reference's tf.data pipeline and Keras ``Sequence`` generators
+(`uPIT_baseline.ipynb cells 12-22`, `Raw_with_Convlayer.ipynb cell 2`,
+`vq-vae*.ipynb cell 2`) with explicit, testable loaders:
+
+- lengths are first-class ``lengths`` arrays (the reference tiled the scalar
+  length into an extra label row — the "length-smuggling protocol" of
+  `uPIT cell 17` — which every loss had to unpack; here nothing is smuggled);
+- batches are padded to *buckets* (next multiple of a pad quantum) instead of
+  a global split maximum, bounding XLA recompilations while wasting far less
+  padding than the reference's pad-to-global-max;
+- a double-buffered device prefetcher overlaps host prep with device compute.
+
+Three product families:
+
+- :class:`WaveformLoader` — mix + sources as raw waveforms; the TPU train
+  step computes STFT/PSM features on device (see ``ops/features.py``);
+- :func:`load_tfrecord_spectrograms` — reads the reference's pre-built
+  spectrogram TFRecords (bundled fixture included) for bit-parity work;
+- :class:`VaeLoader` — single-source batches for the VQ-VAE codecs, in
+  sample-level ``[B, T, 1]`` or frame-stacked ``[B, K, L]`` layout with the
+  reference's peak-normalised read and stride-alignment rounding.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+from dataclasses import dataclass, field
+from typing import Iterator, NamedTuple, Sequence
+
+import numpy as np
+
+import jax
+
+from ..ops.stft import stft_frame_count
+from .audio_io import audioread, read_normalized
+from .features import utterance_names
+from .tfrecord import parse_sequence_example, read_tfrecord_file
+
+__all__ = [
+    "WaveformBatch",
+    "SpectrogramBatch",
+    "VaeBatch",
+    "WaveformLoader",
+    "VaeLoader",
+    "load_tfrecord_spectrograms",
+    "prefetch_to_device",
+]
+
+
+class WaveformBatch(NamedTuple):
+    mix: np.ndarray  # [B, samples]
+    sources: np.ndarray  # [B, num_speakers, samples]
+    sample_lengths: np.ndarray  # [B] true waveform lengths
+    frame_lengths: np.ndarray  # [B] true STFT frame counts
+    names: tuple[str, ...]
+
+
+class SpectrogramBatch(NamedTuple):
+    magnitude: np.ndarray  # [B, T, F]
+    cos_angle: np.ndarray  # [B, T, F]
+    sin_angle: np.ndarray  # [B, T, F]
+    labels: np.ndarray  # [B, T, S * F]
+    lengths: np.ndarray  # [B] valid frames
+    names: tuple[str, ...]
+
+
+class VaeBatch(NamedTuple):
+    inputs: np.ndarray  # [B, T, 1] or [B, K, L]
+    targets: np.ndarray  # [B, T, 1] waveform targets
+    lengths: np.ndarray  # [B] valid target samples (or frames for stacked)
+    names: tuple[str, ...]
+
+
+def _round_up(value: int, quantum: int) -> int:
+    return ((value + quantum - 1) // quantum) * quantum
+
+
+@dataclass
+class WaveformLoader:
+    """Batches of (mix, s1..sN) waveforms from a wsj0-2mix style split dir."""
+
+    split_dir: str | pathlib.Path
+    batch_size: int = 2
+    sample_rate: int = 8000
+    stft_size: int = 256
+    stft_shift: int = 128
+    num_speakers: int = 2
+    pad_quantum_seconds: float = 1.0
+    shuffle: bool = False
+    seed: int = 0
+    drop_remainder: bool = False
+    names: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.split_dir = pathlib.Path(self.split_dir)
+        if not self.names:
+            self.names = utterance_names(self.split_dir)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.names)
+        return n // self.batch_size if self.drop_remainder else math.ceil(n / self.batch_size)
+
+    def _load_one(self, name: str):
+        mix = audioread(self.split_dir / "mix" / name, self.sample_rate)
+        sources = [
+            audioread(self.split_dir / f"s{i + 1}" / name, self.sample_rate)
+            for i in range(self.num_speakers)
+        ]
+        return mix, sources
+
+    def __iter__(self) -> Iterator[WaveformBatch]:
+        order = np.arange(len(self.names))
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(order)
+            self._epoch += 1
+        quantum = max(1, int(self.pad_quantum_seconds * self.sample_rate))
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_remainder and len(idx) < self.batch_size:
+                return
+            names = tuple(self.names[i] for i in idx)
+            loaded = [self._load_one(n) for n in names]
+            lengths = np.asarray([len(m) for m, _ in loaded], dtype=np.int32)
+            padded = _round_up(int(lengths.max()), quantum)
+            b = len(loaded)
+            mix = np.zeros((b, padded), dtype=np.float32)
+            sources = np.zeros((b, self.num_speakers, padded), dtype=np.float32)
+            for i, (m, srcs) in enumerate(loaded):
+                mix[i, : len(m)] = m
+                for s, src in enumerate(srcs):
+                    sources[i, s, : len(src)] = src
+            frame_lengths = np.asarray(
+                [
+                    stft_frame_count(int(n), self.stft_size, self.stft_shift)
+                    for n in lengths
+                ],
+                dtype=np.int32,
+            )
+            yield WaveformBatch(mix, sources, lengths, frame_lengths, names)
+
+
+def load_tfrecord_spectrograms(
+    record_dir: str | pathlib.Path,
+    batch_size: int = 2,
+    input_size: int = 129,
+) -> list[SpectrogramBatch]:
+    """Read a directory of reference-format spectrogram TFRecords into batches.
+
+    Records hold per-frame ``inputs`` ``[2F]`` (magnitude ‖ angle), ``labels``
+    ``[2F]``, a scalar ``length`` and a ``name`` — the layout written by
+    `uPIT_baseline.ipynb cell 10` (and by ``data/features.py``).
+    """
+    record_dir = pathlib.Path(record_dir)
+    utterances = []
+    for path in sorted(record_dir.glob("*.tfrecords")):
+        for payload in read_tfrecord_file(path):
+            feats = parse_sequence_example(payload)
+            inputs = np.stack(feats["inputs"])  # [T, 2F]
+            labels = np.stack(feats["labels"])
+            length = int(feats["length"][0][0]) if "length" in feats else inputs.shape[0]
+            raw_name = feats.get("name", [path.stem])[0]
+            name = raw_name.decode("utf-8") if isinstance(raw_name, bytes) else str(raw_name)
+            utterances.append((inputs, labels, length, name))
+
+    batches = []
+    for start in range(0, len(utterances), batch_size):
+        chunk = utterances[start : start + batch_size]
+        t = max(u[0].shape[0] for u in chunk)
+        f2 = chunk[0][0].shape[1]
+        b = len(chunk)
+        inputs = np.zeros((b, t, f2), dtype=np.float32)
+        labels = np.zeros((b, t, chunk[0][1].shape[1]), dtype=np.float32)
+        lengths = np.zeros((b,), dtype=np.int32)
+        names = []
+        for i, (inp, lab, ln, nm) in enumerate(chunk):
+            inputs[i, : inp.shape[0]] = inp
+            labels[i, : lab.shape[0]] = lab
+            lengths[i] = ln
+            names.append(nm)
+        magnitude = inputs[..., :input_size]
+        angle = inputs[..., input_size:]
+        batches.append(
+            SpectrogramBatch(
+                magnitude=magnitude,
+                cos_angle=np.cos(angle).astype(np.float32),
+                sin_angle=np.sin(angle).astype(np.float32),
+                labels=labels,
+                lengths=lengths,
+                names=tuple(names),
+            )
+        )
+    return batches
+
+
+@dataclass
+class VaeLoader:
+    """Single-source batches for the VQ-VAE codec family.
+
+    ``stacked=False`` → sample-level ``[B, T, 1]`` (RawForVAEGenerator,
+    `vq-vae_for_1d_data.ipynb cell 2`): batch padded up to whole seconds.
+    ``stacked=True`` → frame-stacked ``[B, K, L]`` (RawStackForVAEGenerator,
+    `_t2/_t3 cell 3`): per-utterance K rounded up to a multiple of
+    ``stride_alignment`` so strided encoder/decoder pairs invert cleanly.
+    """
+
+    split_dir: str | pathlib.Path
+    source: str = "s1"
+    batch_size: int = 2
+    sample_rate: int = 8000
+    stacked: bool = False
+    frame_size: int = 40
+    stride_alignment: int = 4
+    shuffle: bool = False
+    seed: int = 0
+    names: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.split_dir = pathlib.Path(self.split_dir)
+        if not self.names:
+            self.names = utterance_names(self.split_dir)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return math.ceil(len(self.names) / self.batch_size)
+
+    def __iter__(self) -> Iterator[VaeBatch]:
+        order = np.arange(len(self.names))
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(order)
+            self._epoch += 1
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            names = tuple(self.names[i] for i in idx)
+            wavs = [
+                read_normalized(self.split_dir / self.source / n, self.sample_rate)
+                for n in names
+            ]
+            lengths = np.asarray([len(w) for w in wavs], dtype=np.int32)
+            if not self.stacked:
+                padded = _round_up(int(lengths.max()), self.sample_rate)
+                batch = np.zeros((len(wavs), padded, 1), dtype=np.float32)
+                for i, w in enumerate(wavs):
+                    batch[i, : len(w), 0] = w
+                yield VaeBatch(batch, batch, lengths, names)
+                continue
+
+            l = self.frame_size
+            ks = []
+            for w in wavs:
+                k = math.ceil(len(w) / l)
+                k = _round_up(k, self.stride_alignment)
+                ks.append(k)
+            k_max = max(ks)
+            inputs = np.zeros((len(wavs), k_max, l), dtype=np.float32)
+            targets = np.zeros((len(wavs), k_max * l, 1), dtype=np.float32)
+            for i, (w, k) in enumerate(zip(wavs, ks)):
+                padded = np.zeros(k * l, dtype=np.float32)
+                padded[: len(w)] = w
+                inputs[i, :k] = padded.reshape(k, l)
+                targets[i, : k * l, 0] = padded
+            yield VaeBatch(inputs, targets, lengths, names)
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Double-buffered transfer: keep ``size`` batches in flight on device."""
+    import collections
+
+    queue = collections.deque()
+
+    def _put(batch):
+        return jax.tree.map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, batch
+        )
+
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
