@@ -1,0 +1,3 @@
+from .evaluate import eval_sdr, eval_si_sdr, score_pair
+
+__all__ = ["eval_sdr", "eval_si_sdr", "score_pair"]

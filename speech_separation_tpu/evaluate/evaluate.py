@@ -1,0 +1,75 @@
+"""Directory-level separation scoring (SI-SDR and BSS-eval SDR).
+
+Mirrors the reference's ``eval_si_sdr`` / ``eval_sdr``
+(`metrics/evaluate_metrics.py:36-92`): walk ``{wav_dir}/tt/mix``, pair each
+reference (``tt/s1``, ``tt/s2``) with estimates ``{est_dir}/{name}_s{i}.wav``,
+truncate all four to the common minimum length, score, average. The SDR
+variant uses the framework's own BSS-eval (``metrics/bss_eval.py``) instead
+of museval, with NaN-tolerant aggregation preserved.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from ..data.audio_io import read_wav
+from ..metrics.bss_eval import bss_eval_sources
+from ..metrics.sisdr import permute_si_sdr
+
+__all__ = ["eval_si_sdr", "eval_sdr", "score_pair"]
+
+
+def _load_pairs(wav_dir: pathlib.Path, est_dir: pathlib.Path, split: str = "tt"):
+    mix_dir = wav_dir / split / "mix"
+    for name in sorted(p.name for p in mix_dir.glob("*.wav")):
+        stem = pathlib.Path(name).stem
+        ref1, _ = read_wav(wav_dir / split / "s1" / name)
+        ref2, _ = read_wav(wav_dir / split / "s2" / name)
+        est1, _ = read_wav(est_dir / f"{stem}_s1.wav")
+        est2, _ = read_wav(est_dir / f"{stem}_s2.wav")
+        n = min(ref1.size, est1.size)
+        yield name, (ref1[:n], ref2[:n]), (est1[:n], est2[:n])
+
+
+def eval_si_sdr(
+    wav_dir: str | pathlib.Path, est_dir: str | pathlib.Path, split: str = "tt"
+) -> float:
+    """Mean permutation-best SI-SDR over the split (dB)."""
+    scores = [
+        permute_si_sdr(refs, ests)
+        for _, refs, ests in _load_pairs(pathlib.Path(wav_dir), pathlib.Path(est_dir), split)
+    ]
+    return float(np.mean(scores))
+
+
+def eval_sdr(
+    wav_dir: str | pathlib.Path,
+    est_dir: str | pathlib.Path,
+    split: str = "tt",
+    flen: int = 512,
+) -> float:
+    """Mean BSS-eval SDR (permutation-resolved) over the split (dB)."""
+    scores = []
+    for _, refs, ests in _load_pairs(pathlib.Path(wav_dir), pathlib.Path(est_dir), split):
+        result = bss_eval_sources(np.stack(refs), np.stack(ests), flen=flen)
+        sdr = np.mean(result.sdr)
+        if np.isnan(sdr):
+            sdr = np.mean(np.nan_to_num(result.sdr))
+        scores.append(sdr)
+    return float(np.mean(scores))
+
+
+def score_pair(references, estimates, flen: int = 512) -> dict[str, float]:
+    """All metrics for one utterance: {si_sdr, sdr, sir, sar}."""
+    n = min(min(r.size for r in references), min(e.size for e in estimates))
+    refs = np.stack([r[:n] for r in references])
+    ests = np.stack([e[:n] for e in estimates])
+    bss = bss_eval_sources(refs, ests, flen=flen)
+    return {
+        "si_sdr": permute_si_sdr(list(refs), list(ests)),
+        "sdr": float(np.mean(bss.sdr)),
+        "sir": float(np.mean(bss.sir)),
+        "sar": float(np.mean(bss.sar)),
+    }

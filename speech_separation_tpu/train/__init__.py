@@ -1,0 +1,18 @@
+from .checkpoint import CheckpointManager
+from .loop import FitResult, fit
+from .optim import adam, exponential_decay_adam, nadam
+from .state import TrainState
+from .steps import make_upit_spectrogram_steps, make_upit_waveform_steps, make_vae_steps
+
+__all__ = [
+    "CheckpointManager",
+    "FitResult",
+    "fit",
+    "adam",
+    "exponential_decay_adam",
+    "nadam",
+    "TrainState",
+    "make_upit_spectrogram_steps",
+    "make_upit_waveform_steps",
+    "make_vae_steps",
+]

@@ -1,0 +1,123 @@
+"""Jitted train / eval step factories.
+
+Each factory closes over a model and returns ``(train_step, eval_step)`` pure
+functions. The uPIT waveform steps fuse the whole pipeline into one XLA
+program: STFT → PSM labels → BLSTM → masks → PIT loss → backward → Adam — the
+host only supplies padded waveforms (compare the reference, which streams
+precomputed 258-dim frames from disk per step: `uPIT_baseline.ipynb cell 31`).
+
+Steps take raw arrays (not loader NamedTuples) so the same compiled function
+serves both the single-chip and the mesh-sharded paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.pit import pit_loss
+from ..losses.sisdr import summed_squared_error
+from ..ops.features import psm_features
+
+__all__ = [
+    "make_upit_waveform_steps",
+    "make_upit_spectrogram_steps",
+    "make_vae_steps",
+]
+
+
+def make_upit_waveform_steps(
+    model,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    donate_state: bool = True,
+):
+    """Steps over (mix [B,S], sources [B,n,S], frame_lengths [B])."""
+
+    def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
+        feats = psm_features(mix, sources, size, shift)
+        kwargs = dict(deterministic=deterministic)
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        preds = model.apply({"params": params}, feats.magnitude, **kwargs)
+        return pit_loss(preds, feats.labels, frame_lengths, num_speakers)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, mix, sources, frame_lengths):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, mix, sources, frame_lengths, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, mix, sources, frame_lengths):
+        return _loss(state.params, mix, sources, frame_lengths, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_upit_spectrogram_steps(model, num_speakers: int = 2, donate_state: bool = True):
+    """Steps over precomputed (magnitude [B,T,F], labels [B,T,nF], lengths)."""
+
+    def _loss(params, magnitude, labels, lengths, dropout_rng, deterministic):
+        kwargs = dict(deterministic=deterministic)
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        preds = model.apply({"params": params}, magnitude, **kwargs)
+        return pit_loss(preds, labels, lengths, num_speakers)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, magnitude, labels, lengths):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, magnitude, labels, lengths, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, magnitude, labels, lengths):
+        return _loss(state.params, magnitude, labels, lengths, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_vae_steps(
+    model,
+    loss_fn: Callable = summed_squared_error,
+    donate_state: bool = True,
+):
+    """Steps for the VQ-VAE family: reconstruction loss + the model's own
+    auxiliary losses (KL / commitment+codebook), mirroring the reference's
+    ``loss + sum(model.losses)`` (`vq-vae_for_1d_data.ipynb cell 18`)."""
+
+    def _loss(params, inputs, targets, rng, deterministic):
+        kwargs = dict(deterministic=deterministic)
+        rngs = {}
+        if not deterministic:
+            rngs["gumbel"] = rng
+            rngs["dropout"] = jax.random.fold_in(rng, 1)
+        if rngs:
+            kwargs["rngs"] = rngs
+        preds, aux_losses = model.apply({"params": params}, inputs, **kwargs)
+        recon = loss_fn(preds, targets)
+        return recon + sum(aux_losses, jnp.zeros(())), (recon, preds)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, inputs, targets):
+        rng, sub = jax.random.split(state.rng)
+        (loss, (recon, _)), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params, inputs, targets, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss, recon
+
+    @jax.jit
+    def eval_step(state, inputs, targets):
+        loss, (recon, preds) = _loss(state.params, inputs, targets, state.rng, True)
+        return loss, recon, preds
+
+    return train_step, eval_step

@@ -1,0 +1,103 @@
+"""End-to-end slice: train on the bundled fixture → separate → score.
+
+The 4-utterance wsj0-2mix fixture bundled with the reference is its de-facto
+integration fixture (SURVEY §4); these tests use it the same way, with a
+scaled-down model so the suite stays fast on the CPU test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_separation_tpu import data, train
+from speech_separation_tpu.evaluate import eval_sdr, eval_si_sdr
+from speech_separation_tpu.models import UPitBlstm
+from speech_separation_tpu.separate import separate_directory
+
+
+SMALL = dict(input_size=129, output_size=129, hidden=32, num_layers=1)
+
+
+def test_reference_artifacts_scored_by_our_evaluator(reference_root):
+    """Pin our evaluator's scores on the reference's committed separated wavs.
+
+    The notebook records SI-SDR −5.2219 / SDR −2.3519 for *its* run
+    (`uPIT_baseline.ipynb cell 45`); the committed ``test_wav/`` artifacts
+    evidently come from a different (better) run — the SI-SDR formula is
+    deterministic and unit-tested, and on the committed files it yields the
+    values pinned here.
+    """
+    wav_dir = reference_root / "mycode" / "wsj0_2mix" / "use_this"
+    est_dir = reference_root / "test_wav"
+    si = eval_si_sdr(wav_dir, est_dir)
+    np.testing.assert_allclose(si, -4.2168, atol=0.01)
+    sdr = eval_sdr(wav_dir, est_dir)
+    np.testing.assert_allclose(sdr, -1.7252, atol=0.05)
+
+
+def test_train_step_reduces_loss(fixture_root):
+    loader = data.WaveformLoader(fixture_root / "tr", batch_size=2)
+    batch = next(iter(loader))
+    model = UPitBlstm(**SMALL)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
+    state = train.TrainState.create(model.apply, params, train.exponential_decay_adam(), rng)
+    train_step, eval_step = train.make_upit_waveform_steps(model)
+
+    args = (
+        jnp.asarray(batch.mix),
+        jnp.asarray(batch.sources),
+        jnp.asarray(batch.frame_lengths),
+    )
+    first = float(eval_step(state, *args))
+    for _ in range(12):
+        state, loss = train_step(state, *args)
+    last = float(eval_step(state, *args))
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.9
+
+
+def test_fit_separate_evaluate(fixture_root, tmp_path):
+    model = UPitBlstm(**SMALL)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
+    state = train.TrainState.create(model.apply, params, train.exponential_decay_adam(), rng)
+    train_step, eval_step = train.make_upit_waveform_steps(model)
+
+    def batch_arrays(b):
+        return (
+            jnp.asarray(b.mix),
+            jnp.asarray(b.sources),
+            jnp.asarray(b.frame_lengths),
+        )
+
+    ckpt = train.CheckpointManager(tmp_path / "ckpt")
+    result = train.fit(
+        state,
+        train_step,
+        eval_step,
+        data.WaveformLoader(fixture_root / "tr", batch_size=2, shuffle=True),
+        data.WaveformLoader(fixture_root / "cv", batch_size=2),
+        batch_arrays,
+        epochs=3,
+        checkpoints=ckpt,
+        log_fn=lambda s: None,
+    )
+    assert result.best_epoch >= 1
+    assert len(result.history["loss"]) == 3
+    assert np.isfinite(result.best_val_loss)
+
+    # full-state resume round-trip
+    restored = ckpt.restore(state)
+    assert int(restored.step) > 0
+    ckpt.close()
+
+    out_dir = tmp_path / "separated"
+    written = separate_directory(model, result.state.params, fixture_root / "tt", out_dir)
+    assert len(written) == 8
+    si = eval_si_sdr(fixture_root, out_dir)
+    assert np.isfinite(si)
+    # 3 epochs of a tiny model on 4 utterances: just assert sane range
+    assert -30 < si < 30
