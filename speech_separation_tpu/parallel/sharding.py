@@ -1,0 +1,120 @@
+"""Sharding rules: map parameters and batches onto the ``(data, model)`` mesh.
+
+Strategy (GSPMD-style): annotate the *placement* of parameters and inputs
+with ``NamedSharding`` and let XLA SPMD derive activation shardings and
+insert the collectives (all-gather / reduce-scatter / all-reduce over ICI).
+
+Default parameter rules for the separator models:
+
+- matmul-heavy kernels — LSTM input/recurrent kernels ``[in, 4H]`` and dense
+  kernels ``[in, out]`` — shard their output dimension over ``model``
+  (tensor parallelism: each model shard computes a slice of the gates/units);
+- biases and small params follow their kernel's output sharding;
+- everything else is replicated.
+
+Batches shard their leading (batch) dimension over ``data``. Gradients of
+replicated params are all-reduced by XLA because their sharding is declared
+replicated — exactly the MirroredStrategy semantic, derived not hand-written.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "batch_sharding",
+    "replicated",
+    "param_pspec",
+    "shard_params",
+    "shard_state",
+    "shard_batch",
+]
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_pspec(path: tuple[str, ...], value: Any, model_axis: str = "model") -> P:
+    """Partition spec for one parameter, by name/shape convention."""
+    name = path[-1] if path else ""
+    if name in ("kernel", "recurrent_kernel") and value.ndim >= 2:
+        # shard the output/gate dimension (last axis)
+        return P(*([None] * (value.ndim - 1) + [model_axis]))
+    if name == "bias" and value.ndim == 1:
+        return P(model_axis)
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """Place a parameter pytree on the mesh according to the rules."""
+
+    def _place(path, value):
+        if tensor_parallel:
+            names = tuple(getattr(k, "key", str(k)) for k in path)
+            spec = param_pspec(names, value)
+            # only shard dims divisible by the mesh axis size
+            axis_size = mesh.shape["model"]
+            for dim, axis in enumerate(spec):
+                if axis is not None and value.shape[dim] % axis_size:
+                    spec = P()
+                    break
+        else:
+            spec = P()
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(_place, params)
+
+
+def shard_state(state: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """Shard a TrainState: params + optimizer moments alike, scalars replicated."""
+    params = shard_params(state.params, mesh, tensor_parallel)
+
+    def _opt(value):
+        # optimizer moments mirror the param tree structure where shaped alike
+        return value
+
+    # Re-initialise optimizer state from the sharded params so moments inherit
+    # the same placement (moment trees are structurally identical to params).
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, replicated(mesh)) if getattr(x, "ndim", 0) == 0 else x,
+        state.opt_state,
+    )
+    opt_state = _mirror_param_sharding(opt_state, params, mesh)
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+
+
+def _mirror_param_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Give optimizer moment tensors the same sharding as their parameter."""
+    param_leaves = {id(l): l for l in jax.tree.leaves(params)}
+    shard_by_shape: dict[tuple, Any] = {}
+    for leaf in jax.tree.leaves(params):
+        shard_by_shape.setdefault(tuple(leaf.shape), leaf.sharding)
+
+    def _place(value):
+        if getattr(value, "ndim", 0) == 0:
+            return jax.device_put(value, replicated(mesh))
+        sharding = shard_by_shape.get(tuple(value.shape))
+        if sharding is None:
+            sharding = replicated(mesh)
+        return jax.device_put(value, sharding)
+
+    return jax.tree.map(_place, opt_state)
+
+
+def shard_batch(arrays: tuple, mesh: Mesh) -> tuple:
+    """Shard each array's leading (batch) axis over the ``data`` mesh axis."""
+    sharding = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sharding) for a in arrays)
