@@ -1,4 +1,19 @@
 from .blstm import BiLSTM, LSTM
 from .upit import UPitBlstm, UPitConv
+from .vq import GumbelSoftmax, VectorQuantizer, gumbel_softmax, nearest_code_indices
+from .vqvae import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
 
-__all__ = ["LSTM", "BiLSTM", "UPitBlstm", "UPitConv"]
+__all__ = [
+    "LSTM",
+    "BiLSTM",
+    "UPitBlstm",
+    "UPitConv",
+    "GumbelSoftmax",
+    "VectorQuantizer",
+    "gumbel_softmax",
+    "nearest_code_indices",
+    "VqVaeCodebook",
+    "VqVaeGumbel",
+    "VqVaeT2",
+    "VqVaeT3",
+]

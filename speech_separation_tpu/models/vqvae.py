@@ -1,0 +1,214 @@
+"""The VQ-VAE audio-codec family: four topologies over raw 1-D audio.
+
+One module per reference generation, all returning ``(reconstruction,
+aux_losses)`` so the shared VAE train step applies
+``loss + sum(aux_losses)`` uniformly:
+
+- :class:`VqVaeGumbel`   — v1 (`vq-vae_for_1d_data.ipynb cells 12, 15`):
+  sample-level input ``[B, T, 1]``, 5 × stride-2 conv encoder
+  (32→128→128→256→512) + 1×1 conv to ``latent_dim`` logits (32× downsample),
+  Gumbel-Softmax sample, dense codebook lookup, mirrored transposed-conv
+  decoder, KL-to-uniform aux loss × 0.2. 5,148,897 params at
+  ``latent_dim=1024`` (pinned in tests against the notebook's summary).
+- :class:`VqVaeCodebook` — v2 (`vq-vae_for_1d_data_2.ipynb cell 18`):
+  frame-stacked input ``[B, K, 40]``, two-level codebook VQ with a U-style
+  concat, stride-1 convs.
+- :class:`VqVaeT2`       — t2 (`_t2 cell 19`): stride-2 U-skip, tanh convs,
+  single VQ.
+- :class:`VqVaeT3`       — t3 (`_t3 cell 22`): three stride-2 encoders into
+  one VQ bottleneck, decoder with long skip from encoder1. 193,000 params
+  (pinned against `_t3 cell 34`).
+
+``codes`` / ``decode_codes`` expose each model as a tokenizer: discrete code
+indices out, waveform back in — the interface the reference sketches for a
+transformer prior (`vq-vae_for_1d_data.ipynb cell 24`, `Untitled.ipynb`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .vq import GumbelSoftmax, VectorQuantizer, nearest_code_indices
+
+__all__ = ["VqVaeGumbel", "VqVaeCodebook", "VqVaeT2", "VqVaeT3"]
+
+
+class _ConvStack(nn.Module):
+    features: Sequence[int]
+    kernel: int = 4
+    stride: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = getattr(nn, self.activation)
+        for i, f in enumerate(self.features):
+            x = act(
+                nn.Conv(f, (self.kernel,), strides=(self.stride,), padding="SAME", name=f"conv_{i}")(x)
+            )
+        return x
+
+
+class _DeconvStack(nn.Module):
+    features: Sequence[int]
+    kernel: int = 4
+    stride: int = 2
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = getattr(nn, self.activation)
+        for i, f in enumerate(self.features):
+            x = act(
+                nn.ConvTranspose(
+                    f, (self.kernel,), strides=(self.stride,), padding="SAME", name=f"deconv_{i}"
+                )(x)
+            )
+        return x
+
+
+class VqVaeGumbel(nn.Module):
+    """v1: Gumbel-Softmax categorical VAE over raw samples ``[B, T, 1]``."""
+
+    latent_dim: int = 1024
+    kl_weight: float = 0.2
+    temperature: float = 0.5
+    gumbel_hard: bool = False
+
+    def setup(self):
+        self.encoder = _ConvStack([32, 128, 128, 256, 512], name="encoder")
+        self.logit = nn.Conv(self.latent_dim, (1,), padding="VALID", name="logit")
+        self.gumbel = GumbelSoftmax(self.temperature, self.gumbel_hard)
+        self.sampled = nn.Dense(self.latent_dim, name="sampled")  # codebook lookup
+        self.decoder = _DeconvStack([512, 256, 128, 128, 32], name="decoder")
+        self.out = nn.ConvTranspose(1, (1,), padding="VALID", name="out")
+
+    def encode_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.logit(self.encoder(x))  # [B, T/32, latent_dim]
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+        logits = self.encode_logits(x)
+        sample = self.gumbel(logits, deterministic=deterministic)
+        decoded = self.out(self.decoder(self.sampled(sample)))
+
+        # KL to uniform prior: Σ q (log q − log 1/K), summed over time+codes
+        qy = jax.nn.softmax(logits, axis=-1)
+        log_qy = jnp.log(qy + 1e-10)
+        kl = jnp.sum(qy * (log_qy - jnp.log(1.0 / self.latent_dim)), axis=(1, 2))
+        aux = jnp.mean(kl) * self.kl_weight
+        return decoded, [aux]
+
+    def codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Discrete code indices ``[B, T/32]`` (argmax over logits)."""
+        return jnp.argmax(self.encode_logits(x), axis=-1)
+
+    def decode_codes(self, indices: jnp.ndarray) -> jnp.ndarray:
+        one_hot = jax.nn.one_hot(indices, self.latent_dim)
+        return self.out(self.decoder(self.sampled(one_hot)))
+
+
+class VqVaeCodebook(nn.Module):
+    """v2: two-level codebook VQ over frame-stacked input ``[B, K, 40]``."""
+
+    embedding_dim: int = 64
+    num_embeddings: int = 256
+    frame_size: int = 40
+
+    def setup(self):
+        self.encoder1 = nn.Conv(32, (4,), padding="SAME", name="encoder1")
+        self.encoder2 = nn.Conv(self.embedding_dim, (4,), padding="SAME", name="encoder2")
+        self.quantize1 = VectorQuantizer(self.num_embeddings, self.embedding_dim, name="vq1")
+        self.decoder1 = nn.ConvTranspose(self.embedding_dim, (4,), padding="SAME", name="decoder1")
+        self.encoder3 = nn.Conv(self.embedding_dim, (1,), padding="SAME", name="encoder3")
+        self.quantize2 = VectorQuantizer(self.num_embeddings, self.embedding_dim, name="vq2")
+        self.decoder2 = nn.ConvTranspose(self.embedding_dim, (4,), padding="SAME", name="decoder2")
+        self.decoder3 = nn.ConvTranspose(self.frame_size, (4,), padding="SAME", name="decoder3")
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+        del deterministic
+        e1 = nn.relu(self.encoder1(x))
+        e2 = nn.relu(self.encoder2(e1))
+        q1, aux1 = self.quantize1(e2)
+        d1 = nn.relu(self.decoder1(q1))
+        e3 = nn.relu(self.encoder3(jnp.concatenate([e1, d1], axis=-1)))
+        q2, aux2 = self.quantize2(e3)
+        d2 = nn.relu(self.decoder2(q1))
+        out = self.decoder3(jnp.concatenate([d2, q2], axis=-1))
+        return out, [aux1, aux2]
+
+
+class VqVaeT2(nn.Module):
+    """t2: stride-2 U-skip codec, tanh conv front, single VQ bottleneck."""
+
+    embedding_dim: int = 64
+    num_embeddings: int = 512
+    frame_size: int = 40
+
+    def setup(self):
+        self.encoder1 = nn.Conv(128, (4,), strides=(2,), padding="SAME", name="encoder1")
+        self.encoder2 = nn.Conv(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="encoder2")
+        self.quantize1 = VectorQuantizer(self.num_embeddings, self.embedding_dim, name="vq1")
+        self.decoder1 = nn.ConvTranspose(128, (4,), strides=(2,), padding="SAME", name="decoder1")
+        self.decoder3 = nn.ConvTranspose(self.frame_size, (4,), strides=(2,), padding="SAME", name="decoder3")
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+        del deterministic
+        e1 = nn.tanh(self.encoder1(x))  # [B, K/2, 128]
+        e2 = nn.tanh(self.encoder2(e1))  # [B, K/4, 64]
+        q1, aux = self.quantize1(e2)
+        d1 = nn.relu(self.decoder1(q1))  # [B, K/2, 128]
+        out = self.decoder3(jnp.concatenate([e1, d1], axis=-1))  # [B, K, 40]
+        return out, [aux]
+
+    def codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        e2 = nn.tanh(self.encoder2(nn.tanh(self.encoder1(x))))
+        cb = self.quantize1.variables["params"]["embeddings"]
+        return nearest_code_indices(e2.reshape(-1, self.embedding_dim), cb).reshape(e2.shape[:-1])
+
+
+class VqVaeT3(nn.Module):
+    """t3: 3-level stride-2 bottleneck (8× frame downsample), long skip."""
+
+    embedding_dim: int = 64
+    num_embeddings: int = 512
+    frame_size: int = 40
+
+    def setup(self):
+        self.encoder1 = nn.Conv(128, (4,), strides=(2,), padding="SAME", name="encoder1")
+        self.encoder2 = nn.Conv(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="encoder2")
+        self.encoder3 = nn.Conv(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="encoder3")
+        self.quantize1 = VectorQuantizer(self.num_embeddings, self.embedding_dim, name="vq1")
+        self.decoder1 = nn.ConvTranspose(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="decoder1")
+        self.decoder2 = nn.ConvTranspose(128, (4,), strides=(2,), padding="SAME", name="decoder2")
+        self.decoder3 = nn.ConvTranspose(self.frame_size, (4,), strides=(2,), padding="SAME", name="decoder3")
+
+    def _encode(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        e1 = nn.tanh(self.encoder1(x))  # [B, K/2, 128]
+        e2 = nn.tanh(self.encoder2(e1))  # [B, K/4, 64]
+        e3 = nn.tanh(self.encoder3(e2))  # [B, K/8, 64]
+        return e1, e3
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+        del deterministic
+        e1, e3 = self._encode(x)
+        q1, aux = self.quantize1(e3)
+        d1 = nn.relu(self.decoder1(q1))  # [B, K/4, 64]
+        d2 = nn.relu(self.decoder2(d1))  # [B, K/2, 128]
+        out = self.decoder3(jnp.concatenate([e1, d2], axis=-1))  # [B, K, 40]
+        return out, [aux]
+
+    def codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tokenise: code indices ``[B, K/8]``."""
+        _, e3 = self._encode(x)
+        cb = self.quantize1.variables["params"]["embeddings"]
+        return nearest_code_indices(e3.reshape(-1, self.embedding_dim), cb).reshape(e3.shape[:-1])
+
+    def decode_codes(self, indices: jnp.ndarray, e1: jnp.ndarray) -> jnp.ndarray:
+        cb = self.quantize1.variables["params"]["embeddings"]
+        q1 = VectorQuantizer.lookup(cb, indices)
+        d2 = nn.relu(self.decoder2(nn.relu(self.decoder1(q1))))
+        return self.decoder3(jnp.concatenate([e1, d2], axis=-1))
