@@ -1,0 +1,40 @@
+"""Pallas kernel tests (interpreter mode on the CPU test mesh)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from speech_separation_tpu.models import VectorQuantizer
+from speech_separation_tpu.ops.vq_pallas import nearest_code_pallas
+
+RNG = np.random.default_rng(0)
+
+
+def test_nearest_code_pallas_matches_brute_force():
+    flat = RNG.standard_normal((300, 48)).astype(np.float32)
+    cb = RNG.standard_normal((48, 200)).astype(np.float32)
+    got = np.asarray(nearest_code_pallas(jnp.asarray(flat), jnp.asarray(cb)))
+    want = np.argmin(((flat[:, :, None] - cb[None]) ** 2).sum(axis=1), axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nearest_code_pallas_unaligned_shapes():
+    # N, D, K all deliberately off the tile sizes
+    flat = RNG.standard_normal((37, 13)).astype(np.float32)
+    cb = RNG.standard_normal((13, 65)).astype(np.float32)
+    got = np.asarray(nearest_code_pallas(jnp.asarray(flat), jnp.asarray(cb)))
+    want = np.argmin(((flat[:, :, None] - cb[None]) ** 2).sum(axis=1), axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vector_quantizer_pallas_path_matches_xla():
+    import jax
+
+    vq_x = VectorQuantizer(num_embeddings=32, embedding_dim=16, use_pallas=False)
+    vq_p = VectorQuantizer(num_embeddings=32, embedding_dim=16, use_pallas=True)
+    x = jnp.asarray(RNG.standard_normal((2, 10, 16)), jnp.float32)
+    params = vq_x.init(jax.random.key(0), x)
+    qx, ax = vq_x.apply(params, x)
+    qp, ap = vq_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(qx), np.asarray(qp), atol=1e-6)
+    np.testing.assert_allclose(float(ax), float(ap), rtol=1e-6)
