@@ -2,7 +2,12 @@ from .checkpoint import CheckpointManager
 from .loop import FitResult, fit
 from .optim import adam, exponential_decay_adam, nadam
 from .state import TrainState
-from .steps import make_upit_spectrogram_steps, make_upit_waveform_steps, make_vae_steps
+from .steps import (
+    make_upit_raw_steps,
+    make_upit_spectrogram_steps,
+    make_upit_waveform_steps,
+    make_vae_steps,
+)
 
 __all__ = [
     "CheckpointManager",
@@ -12,6 +17,7 @@ __all__ = [
     "exponential_decay_adam",
     "nadam",
     "TrainState",
+    "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_upit_waveform_steps",
     "make_vae_steps",

@@ -24,6 +24,7 @@ from ..ops.features import psm_features
 
 __all__ = [
     "make_upit_waveform_steps",
+    "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_vae_steps",
 ]
@@ -45,6 +46,51 @@ def make_upit_waveform_steps(
             kwargs["rngs"] = {"dropout": dropout_rng}
         preds = model.apply({"params": params}, feats.magnitude, **kwargs)
         return pit_loss(preds, feats.labels, frame_lengths, num_speakers)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, mix, sources, frame_lengths):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, mix, sources, frame_lengths, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, mix, sources, frame_lengths):
+        return _loss(state.params, mix, sources, frame_lengths, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_upit_raw_steps(
+    model,
+    frame_size: int = 40,
+    num_speakers: int = 2,
+    donate_state: bool = True,
+):
+    """Steps for the raw-waveform conv-frontend separator.
+
+    Waveforms are framed on device into non-overlapping ``frame_size`` frames
+    (the reference's ``RawDataGenerator`` did this on the host,
+    `Raw_with_Convlayer.ipynb cell 2`); PIT loss runs in the frame domain with
+    per-utterance frame counts ``ceil(samples / frame_size)``.
+    """
+
+    def _frame(wave):
+        b, samples = wave.shape
+        assert samples % frame_size == 0, "pad waveforms to a frame multiple"
+        return wave.reshape(b, samples // frame_size, frame_size)
+
+    def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
+        frames = _frame(mix)  # [B, K, L]
+        b, k, l = frames.shape
+        src_frames = sources.reshape(b, sources.shape[1], k, l)
+        labels = jnp.moveaxis(src_frames, 1, 2).reshape(b, k, -1)  # [B, K, n*L]
+        kwargs = dict(deterministic=deterministic)
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        preds = model.apply({"params": params}, frames, **kwargs)
+        return pit_loss(preds, labels, frame_lengths, num_speakers)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def train_step(state, mix, sources, frame_lengths):
