@@ -1,0 +1,402 @@
+"""Command-line entry points.
+
+The reference has no CLI — every workflow is "run the notebook top to bottom"
+(SURVEY §1). This exposes each workflow as a subcommand:
+
+    python -m speech_separation_tpu.cli prepare-data --data-root ... --mode mixed
+    python -m speech_separation_tpu.cli train --workload upit --variant blstm
+    python -m speech_separation_tpu.cli train --workload vqvae --variant t3
+    python -m speech_separation_tpu.cli separate --checkpoint-dir CKPT --out-dir out
+    python -m speech_separation_tpu.cli evaluate --est-dir out
+    python -m speech_separation_tpu.cli codec-encode --wav in.wav --out codes.npy
+    python -m speech_separation_tpu.cli codec-decode --codes codes.npy --out out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import numpy as np
+
+
+def _build_upit_model(variant: str, hidden: int, num_layers: int, num_speakers: int):
+    from .models import UPitBlstm, UPitConv
+
+    if variant == "blstm":
+        return UPitBlstm(hidden=hidden, num_layers=num_layers, num_speakers=num_speakers)
+    if variant == "conv":
+        return UPitConv(hidden=hidden, num_layers=num_layers, num_speakers=num_speakers)
+    raise SystemExit(f"unknown uPIT variant {variant!r}")
+
+
+def _build_vae_model(variant: str, cfg):
+    from .models import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
+
+    if variant == "gumbel":
+        return VqVaeGumbel(latent_dim=cfg.latent_dim)
+    if variant == "v2":
+        return VqVaeCodebook(embedding_dim=cfg.embedding_dim, num_embeddings=cfg.num_embeddings)
+    if variant == "t2":
+        return VqVaeT2(embedding_dim=cfg.embedding_dim, num_embeddings=cfg.num_embeddings)
+    if variant == "t3":
+        return VqVaeT3(embedding_dim=cfg.embedding_dim, num_embeddings=cfg.num_embeddings)
+    raise SystemExit(f"unknown VQ-VAE variant {variant!r}")
+
+
+def cmd_prepare_data(args) -> None:
+    from .data import FeatureConfig, generate_split
+    from .utils import PrepareDataConfig, load_config
+
+    cfg = load_config(
+        PrepareDataConfig,
+        args.config,
+        dict(data_root=args.data_root, out_root=args.out_root, mode=args.mode),
+    )
+    feature_cfg = FeatureConfig(
+        sample_rate=cfg.stft.sample_rate,
+        window_size=cfg.stft.size,
+        window_shift=cfg.stft.shift,
+        mode=cfg.mode,
+    )
+    suffix = {"mixed": "", "signal": "_one_source", "raw": "_raw"}[cfg.mode]
+    for split in cfg.splits:
+        out_dir = pathlib.Path(cfg.out_root) / f"{split}{suffix}_tfrecord"
+        written = generate_split(
+            pathlib.Path(cfg.data_root) / split, out_dir, feature_cfg, cfg.max_workers
+        )
+        print(f"{split}: wrote {len(written)} records to {out_dir}")
+
+
+def cmd_train(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from . import data, parallel, train
+    from .utils import MetricsLogger, UPitTrainConfig, VaeTrainConfig, load_config, save_config
+
+    if args.workload == "upit":
+        cfg = load_config(
+            UPitTrainConfig,
+            args.config,
+            dict(
+                data_root=args.data_root,
+                variant=args.variant,
+                batch_size=args.batch_size,
+                epochs=args.epochs,
+                checkpoint_dir=args.checkpoint_dir,
+            ),
+        )
+        rng = jax.random.key(cfg.seed)
+        model = _build_upit_model(cfg.variant, cfg.hidden, cfg.num_layers, cfg.num_speakers)
+        feat_dim = 129 if cfg.variant == "blstm" else cfg.frame_size
+        params = model.init(rng, jnp.zeros((1, 8, feat_dim)))["params"]
+        tx = train.exponential_decay_adam(
+            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+        )
+        state = train.TrainState.create(model.apply, params, tx, rng)
+
+        if cfg.mesh.model > 1 or cfg.mesh.data not in (None, 1):
+            mesh = parallel.make_mesh(cfg.mesh.data, cfg.mesh.model)
+            state = parallel.shard_state(state, mesh, cfg.mesh.tensor_parallel)
+
+        if cfg.variant == "blstm":
+            train_step, eval_step = train.make_upit_waveform_steps(
+                model, cfg.stft.size, cfg.stft.shift, cfg.num_speakers
+            )
+
+            def batch_arrays(b):
+                return (
+                    jnp.asarray(b.mix),
+                    jnp.asarray(b.sources),
+                    jnp.asarray(b.frame_lengths),
+                )
+
+        else:
+            train_step, eval_step = train.make_upit_raw_steps(
+                model, cfg.frame_size, cfg.num_speakers
+            )
+
+            def batch_arrays(b):
+                raw_frames = np.ceil(b.sample_lengths / cfg.frame_size).astype(np.int32)
+                return (
+                    jnp.asarray(b.mix),
+                    jnp.asarray(b.sources),
+                    jnp.asarray(raw_frames),
+                )
+
+        root = pathlib.Path(cfg.data_root)
+        make_loader = lambda split, shuffle: data.WaveformLoader(
+            root / split,
+            batch_size=cfg.batch_size,
+            sample_rate=cfg.stft.sample_rate,
+            stft_size=cfg.stft.size,
+            stft_shift=cfg.stft.shift,
+            num_speakers=cfg.num_speakers,
+            shuffle=shuffle,
+            seed=cfg.seed,
+        )
+        ckpt = train.CheckpointManager(cfg.checkpoint_dir)
+        save_config(cfg, pathlib.Path(cfg.checkpoint_dir) / "train_config.json")
+        logger = MetricsLogger(pathlib.Path(cfg.checkpoint_dir) / "metrics.jsonl", echo=False)
+        result = train.fit(
+            state,
+            train_step,
+            eval_step,
+            make_loader(cfg.train_split, True),
+            make_loader(cfg.val_split, False),
+            batch_arrays,
+            epochs=cfg.epochs,
+            patience=cfg.patience,
+            checkpoints=ckpt,
+        )
+        logger.close()
+        ckpt.close()
+        print(
+            json.dumps(
+                {
+                    "best_val_loss": result.best_val_loss,
+                    "best_epoch": result.best_epoch,
+                    "stopped_early": result.stopped_early,
+                }
+            )
+        )
+        return
+
+    if args.workload == "vqvae":
+        cfg = load_config(
+            VaeTrainConfig,
+            args.config,
+            dict(
+                data_root=args.data_root,
+                variant=args.variant,
+                batch_size=args.batch_size,
+                epochs=args.epochs,
+                checkpoint_dir=args.checkpoint_dir,
+            ),
+        )
+        rng = jax.random.key(cfg.seed)
+        model = _build_vae_model(cfg.variant, cfg)
+        stacked = cfg.variant != "gumbel"
+        example = jnp.zeros((1, 16, 40)) if stacked else jnp.zeros((1, 64, 1))
+        init_rngs = {"params": rng} if stacked else {"params": rng, "gumbel": rng}
+        params = model.init(init_rngs, example)["params"]
+        tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3") else train.adam(
+            cfg.learning_rate if cfg.variant != "gumbel" else 1e-4
+        )
+        state = train.TrainState.create(model.apply, params, tx, rng)
+
+        from .losses import summed_squared_error
+
+        if stacked:
+            loss_fn = lambda preds, t: summed_squared_error(
+                preds.reshape(preds.shape[0], -1, 1), t
+            )
+        else:
+            loss_fn = summed_squared_error
+        train_step, eval_step = train.make_vae_steps(model, loss_fn)
+
+        def batch_arrays(b):
+            return (jnp.asarray(b.inputs), jnp.asarray(b.targets))
+
+        root = pathlib.Path(cfg.data_root)
+        # t3 downsamples 8× (three stride-2 levels) → K must align to 8
+        # (reference `_t3 cell 3`); t2/v2 align to 4 (`_t2 cell 3`)
+        alignment = 8 if cfg.variant == "t3" else 4
+        make_loader = lambda split, shuffle: data.VaeLoader(
+            root / split,
+            source=cfg.source,
+            batch_size=cfg.batch_size,
+            sample_rate=cfg.sample_rate,
+            stacked=stacked,
+            stride_alignment=alignment,
+            shuffle=shuffle,
+            seed=cfg.seed,
+        )
+        ckpt = train.CheckpointManager(cfg.checkpoint_dir)
+        save_config(cfg, pathlib.Path(cfg.checkpoint_dir) / "train_config.json")
+        result = train.fit(
+            state,
+            train_step,
+            eval_step,
+            make_loader(cfg.train_split, True),
+            make_loader(cfg.val_split, False),
+            batch_arrays,
+            epochs=cfg.epochs,
+            patience=cfg.patience,
+            checkpoints=ckpt,
+        )
+        ckpt.close()
+        print(
+            json.dumps(
+                {"best_val_loss": result.best_val_loss, "best_epoch": result.best_epoch}
+            )
+        )
+        return
+
+    raise SystemExit(f"unknown workload {args.workload!r}")
+
+
+def _restore_upit(checkpoint_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from . import train
+    from .utils import UPitTrainConfig, load_config
+
+    cfg = load_config(UPitTrainConfig, pathlib.Path(checkpoint_dir) / "train_config.json")
+    model = _build_upit_model(cfg.variant, cfg.hidden, cfg.num_layers, cfg.num_speakers)
+    feat_dim = 129 if cfg.variant == "blstm" else cfg.frame_size
+    rng = jax.random.key(cfg.seed)
+    params = model.init(rng, jnp.zeros((1, 8, feat_dim)))["params"]
+    tx = train.exponential_decay_adam(cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate)
+    state = train.TrainState.create(model.apply, params, tx, rng)
+    ckpt = train.CheckpointManager(checkpoint_dir)
+    state = ckpt.restore(state)
+    ckpt.close()
+    return cfg, model, state
+
+
+def cmd_separate(args) -> None:
+    from .separate import separate_directory
+
+    cfg, model, state = _restore_upit(args.checkpoint_dir)
+    written = separate_directory(
+        model,
+        state.params,
+        pathlib.Path(args.data_root or cfg.data_root) / args.split,
+        args.out_dir,
+        size=cfg.stft.size,
+        shift=cfg.stft.shift,
+        num_speakers=cfg.num_speakers,
+        batch_size=args.batch_size or cfg.batch_size,
+        sample_rate=cfg.stft.sample_rate,
+    )
+    print(json.dumps({"written": len(written), "out_dir": str(args.out_dir)}))
+
+
+def cmd_evaluate(args) -> None:
+    from .evaluate import eval_sdr, eval_si_sdr
+
+    si = eval_si_sdr(args.data_root, args.est_dir, args.split)
+    sdr = eval_sdr(args.data_root, args.est_dir, args.split)
+    print(json.dumps({"si_sdr_db": round(si, 4), "sdr_db": round(sdr, 4)}))
+
+
+def cmd_codec_encode(args) -> None:
+    import jax.numpy as jnp
+
+    from .data import read_normalized
+    from .models import VqVaeT3
+
+    cfg, model, state = _restore_vae(args.checkpoint_dir)
+    wav = read_normalized(args.wav, cfg.sample_rate)
+    frames = _stack_frames(wav, cfg.variant)
+    codes = model.apply({"params": state.params}, jnp.asarray(frames), method=type(model).codes)
+    np.save(args.out, np.asarray(codes))
+    print(json.dumps({"codes": str(args.out), "shape": list(codes.shape), "samples": len(wav)}))
+
+
+def _stack_frames(wav: np.ndarray, variant: str, frame_size: int = 40) -> np.ndarray:
+    """[samples] → [1, K, L] with K aligned to the variant's stride depth."""
+    alignment = 8 if variant == "t3" else 4
+    k = -(-len(wav) // frame_size)
+    k = ((k + alignment - 1) // alignment) * alignment
+    frames = np.zeros((1, k, frame_size), np.float32)
+    frames[0].reshape(-1)[: len(wav)] = wav
+    return frames
+
+
+def _restore_vae(checkpoint_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from . import train
+    from .utils import VaeTrainConfig, load_config
+
+    cfg = load_config(VaeTrainConfig, pathlib.Path(checkpoint_dir) / "train_config.json")
+    model = _build_vae_model(cfg.variant, cfg)
+    stacked = cfg.variant != "gumbel"
+    example = jnp.zeros((1, 16, 40)) if stacked else jnp.zeros((1, 64, 1))
+    rng = jax.random.key(cfg.seed)
+    init_rngs = {"params": rng} if stacked else {"params": rng, "gumbel": rng}
+    params = model.init(init_rngs, example)["params"]
+    tx = train.nadam(cfg.learning_rate)
+    state = train.TrainState.create(model.apply, params, tx, rng)
+    ckpt = train.CheckpointManager(checkpoint_dir)
+    state = ckpt.restore(state)
+    ckpt.close()
+    return cfg, model, state
+
+
+def cmd_codec_roundtrip(args) -> None:
+    """Encode + decode a wav through the codec, write the reconstruction."""
+    import jax.numpy as jnp
+
+    from .data import audiowrite, read_normalized
+
+    cfg, model, state = _restore_vae(args.checkpoint_dir)
+    wav = read_normalized(args.wav, cfg.sample_rate)
+    frames = _stack_frames(wav, cfg.variant)
+    recon, _ = model.apply({"params": state.params}, jnp.asarray(frames), deterministic=True)
+    out = np.asarray(recon).reshape(-1)[: len(wav)]
+    audiowrite(out, args.out, cfg.sample_rate, normalize=True)
+    print(json.dumps({"out": str(args.out), "samples": int(len(wav))}))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="speech_separation_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("prepare-data", help="offline TFRecord feature generation")
+    p.add_argument("--config")
+    p.add_argument("--data-root")
+    p.add_argument("--out-root")
+    p.add_argument("--mode", default="mixed", choices=["mixed", "signal", "raw"])
+    p.set_defaults(func=cmd_prepare_data)
+
+    p = sub.add_parser("train", help="train a separator or codec")
+    p.add_argument("--config")
+    p.add_argument("--workload", default="upit", choices=["upit", "vqvae"])
+    p.add_argument("--variant", default=None)
+    p.add_argument("--data-root")
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("separate", help="separate a split with a trained model")
+    p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.add_argument("--data-root")
+    p.add_argument("--split", default="tt")
+    p.add_argument("--out-dir", default="./test_wav")
+    p.add_argument("--batch-size", type=int)
+    p.set_defaults(func=cmd_separate)
+
+    p = sub.add_parser("evaluate", help="score separated wavs (SI-SDR, BSS SDR)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--est-dir", required=True)
+    p.add_argument("--split", default="tt")
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("codec-encode", help="tokenise a wav with a trained VQ codec")
+    p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(func=cmd_codec_encode)
+
+    p = sub.add_parser("codec-roundtrip", help="wav → codec → wav reconstruction")
+    p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(func=cmd_codec_roundtrip)
+
+    args = parser.parse_args(argv)
+    if args.command == "train" and args.variant is None:
+        args.variant = "blstm" if args.workload == "upit" else "t3"
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

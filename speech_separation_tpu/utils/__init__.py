@@ -1,0 +1,28 @@
+from .config import (
+    EvaluateConfig,
+    MeshConfig,
+    PrepareDataConfig,
+    SeparateConfig,
+    StftConfig,
+    UPitTrainConfig,
+    VaeTrainConfig,
+    load_config,
+    save_config,
+)
+from .profiling import MetricsLogger, StepTimer, device_memory_stats, trace
+
+__all__ = [
+    "EvaluateConfig",
+    "MeshConfig",
+    "PrepareDataConfig",
+    "SeparateConfig",
+    "StftConfig",
+    "UPitTrainConfig",
+    "VaeTrainConfig",
+    "load_config",
+    "save_config",
+    "MetricsLogger",
+    "StepTimer",
+    "device_memory_stats",
+    "trace",
+]

@@ -1,0 +1,163 @@
+"""Typed configuration: one dataclass per workload, JSON round-trip.
+
+Replaces the reference's in-notebook constants and mode strings
+(``CASE = 'mixed'|'signal'|'raw'``, hardcoded batch sizes and dataset roots —
+`uPIT_baseline.ipynb cells 10, 13`, `parallel_stft.py:23-27`). Every config
+serialises to/from JSON so runs are reproducible artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = [
+    "StftConfig",
+    "MeshConfig",
+    "UPitTrainConfig",
+    "VaeTrainConfig",
+    "SeparateConfig",
+    "EvaluateConfig",
+    "PrepareDataConfig",
+    "load_config",
+    "save_config",
+]
+
+
+@dataclass(frozen=True)
+class StftConfig:
+    size: int = 256
+    shift: int = 128
+    sample_rate: int = 8000
+    method: str = "matmul"  # "matmul" (MXU) or "fft"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int | None = None  # None → all devices
+    model: int = 1
+    tensor_parallel: bool = False
+
+
+@dataclass(frozen=True)
+class UPitTrainConfig:
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    train_split: str = "tr"
+    val_split: str = "cv"
+    variant: str = "blstm"  # "blstm" (spectral) or "conv" (raw frames)
+    batch_size: int = 2
+    epochs: int = 5
+    patience: int = 50
+    hidden: int = 496
+    num_layers: int = 3
+    num_speakers: int = 2
+    dropout: float = 0.8
+    learning_rate: float = 1e-3
+    lr_decay_steps: int = 20
+    lr_decay_rate: float = 0.96
+    frame_size: int = 40  # conv variant
+    checkpoint_dir: str = "./CKPT"
+    seed: int = 42
+    stft: StftConfig = field(default_factory=StftConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass(frozen=True)
+class VaeTrainConfig:
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    train_split: str = "tr"
+    val_split: str = "cv"
+    variant: str = "t3"  # gumbel | v2 | t2 | t3
+    source: str = "s1"
+    batch_size: int = 2
+    epochs: int = 5
+    patience: int = 50
+    latent_dim: int = 1024  # gumbel variant
+    embedding_dim: int = 64
+    num_embeddings: int = 512
+    learning_rate: float = 1e-3
+    checkpoint_dir: str = "./CKPT"
+    seed: int = 42
+    sample_rate: int = 8000
+
+
+@dataclass(frozen=True)
+class SeparateConfig:
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    split: str = "tt"
+    out_dir: str = "./test_wav"
+    checkpoint_dir: str = "./CKPT"
+    batch_size: int = 2
+    variant: str = "blstm"
+    hidden: int = 496
+    num_layers: int = 3
+    num_speakers: int = 2
+    stft: StftConfig = field(default_factory=StftConfig)
+
+
+@dataclass(frozen=True)
+class EvaluateConfig:
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    est_dir: str = "./test_wav"
+    split: str = "tt"
+    bss_filter_length: int = 512
+
+
+@dataclass(frozen=True)
+class PrepareDataConfig:
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    out_root: str = "./mycode/tfrecords"
+    splits: tuple[str, ...] = ("tr", "cv", "tt")
+    mode: str = "mixed"  # mixed | signal | raw
+    stft: StftConfig = field(default_factory=StftConfig)
+    max_workers: int = 8
+
+
+_NESTED = {"StftConfig": None, "MeshConfig": None}  # filled below
+
+
+def _resolve_type(tp):
+    """Field types are strings under `from __future__ import annotations`."""
+    if isinstance(tp, str):
+        return _NESTED.get(tp)
+    return tp if dataclasses.is_dataclass(tp) else None
+
+
+def _from_dict(cls, payload: dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in payload:
+            continue
+        value = payload[f.name]
+        nested = _resolve_type(f.type)
+        if nested is not None and isinstance(value, dict):
+            value = _from_dict(nested, value)
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[f.name] = value
+    return cls(**kwargs)
+
+
+def _register_nested() -> None:
+    _NESTED["StftConfig"] = StftConfig
+    _NESTED["MeshConfig"] = MeshConfig
+
+
+_register_nested()
+
+
+def load_config(cls, path: str | pathlib.Path | None = None, overrides: dict | None = None):
+    """Build a config from JSON file + flat overrides (dot-free keys)."""
+    payload: dict[str, Any] = {}
+    if path is not None:
+        payload = json.loads(pathlib.Path(path).read_text())
+    if overrides:
+        payload.update({k: v for k, v in overrides.items() if v is not None})
+    return _from_dict(cls, payload)
+
+
+def save_config(config, path: str | pathlib.Path) -> None:
+    pathlib.Path(path).write_text(json.dumps(dataclasses.asdict(config), indent=2))

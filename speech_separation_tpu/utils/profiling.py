@@ -1,0 +1,108 @@
+"""Profiling and observability: XLA traces, step timing, metric logging.
+
+The reference's only instrumentation is a wall-clock epoch print
+(`vq-vae_for_1d_data.ipynb cell 19`). Here:
+
+- :func:`trace` — context manager around ``jax.profiler`` writing a
+  TensorBoard-compatible trace directory;
+- :class:`StepTimer` — per-step wall-clock statistics with percentile
+  summaries (synchronises via ``block_until_ready`` on a probe array when
+  requested, which matters on asynchronous dispatch runtimes);
+- :class:`MetricsLogger` — JSONL metrics stream (step, wall time, values),
+  the structured replacement for Keras progress bars.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import pathlib
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+
+__all__ = ["trace", "StepTimer", "MetricsLogger", "device_memory_stats"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | pathlib.Path):
+    """Capture an XLA profiler trace for the enclosed region."""
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    def __init__(self) -> None:
+        self._durations: list[float] = []
+        self._t0: float | None = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self, sync_on: Any = None) -> float:
+        if sync_on is not None:
+            jax.block_until_ready(sync_on)
+        assert self._t0 is not None, "start() not called"
+        dt = time.perf_counter() - self._t0
+        self._durations.append(dt)
+        self._t0 = None
+        return dt
+
+    def summary(self) -> dict[str, float]:
+        if not self._durations:
+            return {}
+        arr = np.asarray(self._durations)
+        return {
+            "steps": int(arr.size),
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p90_s": float(np.percentile(arr, 90)),
+            "max_s": float(arr.max()),
+        }
+
+
+class MetricsLogger:
+    def __init__(self, path: str | pathlib.Path | None = None, echo: bool = False):
+        self._path = pathlib.Path(path) if path else None
+        self._echo = echo
+        self._t0 = time.time()
+        if self._path:
+            self._path.parent.mkdir(parents=True, exist_ok=True)
+            self._handle = open(self._path, "a")
+        else:
+            self._handle = None
+
+    def log(self, step: int, **metrics: float) -> None:
+        record = {"step": step, "wall_s": round(time.time() - self._t0, 3), **metrics}
+        line = json.dumps(record)
+        if self._handle:
+            self._handle.write(line + "\n")
+            self._handle.flush()
+        if self._echo:
+            print(line)
+
+    def close(self) -> None:
+        if self._handle:
+            self._handle.close()
+
+
+def device_memory_stats() -> dict[str, int]:
+    """Per-device memory stats where the backend exposes them."""
+    stats = {}
+    for device in jax.local_devices():
+        try:
+            s = device.memory_stats()
+        except Exception:
+            s = None
+        if s:
+            stats[str(device)] = {
+                "bytes_in_use": s.get("bytes_in_use", 0),
+                "peak_bytes_in_use": s.get("peak_bytes_in_use", 0),
+            }
+    return stats

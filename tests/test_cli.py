@@ -1,0 +1,148 @@
+"""CLI workflow tests on the fixture: prepare-data, train, separate, evaluate."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from speech_separation_tpu import cli
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_prepare_data_cli(fixture_root, tmp_path, capsys):
+    out = _run(
+        capsys,
+        [
+            "prepare-data",
+            "--data-root",
+            str(fixture_root),
+            "--out-root",
+            str(tmp_path),
+            "--mode",
+            "mixed",
+        ],
+    )
+    assert len(out) == 3
+    assert (tmp_path / "tt_tfrecord").exists()
+    assert len(list((tmp_path / "tr_tfrecord").glob("*.tfrecords"))) == 4
+
+
+def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
+    import json as _json
+
+    ckpt_dir = tmp_path / "ckpt"
+    # tiny model via config file
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(
+        _json.dumps({"hidden": 16, "num_layers": 1, "patience": 10, "seed": 0})
+    )
+    out = _run(
+        capsys,
+        [
+            "train",
+            "--config",
+            str(cfg_path),
+            "--workload",
+            "upit",
+            "--data-root",
+            str(fixture_root),
+            "--epochs",
+            "2",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+        ],
+    )
+    summary = json.loads(out[-1])
+    assert np.isfinite(summary["best_val_loss"])
+
+    sep_dir = tmp_path / "sep"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(sep_dir),
+        ],
+    )
+    assert json.loads(out[-1])["written"] == 8
+
+    out = _run(
+        capsys,
+        [
+            "evaluate",
+            "--data-root",
+            str(fixture_root),
+            "--est-dir",
+            str(sep_dir) + "/",
+        ],
+    )
+    scores = json.loads(out[-1])
+    assert np.isfinite(scores["si_sdr_db"]) and np.isfinite(scores["sdr_db"])
+
+
+def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):
+    ckpt_dir = tmp_path / "vae_ckpt"
+    cfg_path = tmp_path / "vae_cfg.json"
+    cfg_path.write_text(json.dumps({"embedding_dim": 8, "num_embeddings": 16, "seed": 0}))
+    out = _run(
+        capsys,
+        [
+            "train",
+            "--config",
+            str(cfg_path),
+            "--workload",
+            "vqvae",
+            "--variant",
+            "t3",
+            "--data-root",
+            str(fixture_root),
+            "--epochs",
+            "2",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+        ],
+    )
+    assert np.isfinite(json.loads(out[-1])["best_val_loss"])
+
+    wav = next((fixture_root / "tt" / "s1").glob("*.wav"))
+    codes_path = tmp_path / "codes.npy"
+    out = _run(
+        capsys,
+        [
+            "codec-encode",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--wav",
+            str(wav),
+            "--out",
+            str(codes_path),
+        ],
+    )
+    info = json.loads(out[-1])
+    codes = np.load(codes_path)
+    assert codes.shape == tuple(info["shape"])
+    assert codes.dtype in (np.int32, np.int64)
+
+    recon_path = tmp_path / "recon.wav"
+    out = _run(
+        capsys,
+        [
+            "codec-roundtrip",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--wav",
+            str(wav),
+            "--out",
+            str(recon_path),
+        ],
+    )
+    assert recon_path.exists()
