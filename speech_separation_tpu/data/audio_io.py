@@ -37,6 +37,13 @@ __all__ = [
 
 def read_wav(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
     """Read a wav file as float32 in [-1, 1]. Returns (signal, sample_rate)."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.wav_read(path)
+    except ImportError:
+        pass
     rate, data = _wavfile.read(str(path))
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

@@ -1,0 +1,88 @@
+"""Native runtime library tests (built on demand with make)."""
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+
+
+@pytest.fixture(scope="session", autouse=False)
+def native_lib():
+    so = NATIVE_DIR / "libsstpu_native.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            pytest.skip("native toolchain unavailable")
+    from speech_separation_tpu import native
+
+    if not native.available():
+        pytest.skip("native library failed to load")
+    return native
+
+
+def test_native_crc32c_vectors(native_lib):
+    assert native_lib.crc32c(b"") == 0
+    assert native_lib.crc32c(b"a") == 0xC1D04330
+    assert native_lib.crc32c(b"123456789") == 0xE3069283
+    assert native_lib.crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_native_crc_matches_python(native_lib):
+    from speech_separation_tpu.data.tfrecord import _make_crc_table
+
+    table = _make_crc_table()
+
+    def py_crc(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 8, 9, 1000, 4096):
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert native_lib.crc32c(blob) == py_crc(blob)
+
+
+def test_native_wav_matches_scipy(native_lib, fixture_root):
+    from scipy.io import wavfile
+
+    path = next((fixture_root / "tt" / "mix").glob("*.wav"))
+    got, sr = native_lib.wav_read(path)
+    rate, raw = wavfile.read(str(path))
+    want = raw.astype(np.float32) / 32768.0
+    assert sr == rate
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_native_batch_decode(native_lib, fixture_root):
+    paths = sorted((fixture_root / "tt" / "mix").glob("*.wav"))
+    results = native_lib.wav_read_batch(paths, num_threads=4)
+    assert len(results) == len(paths)
+    single, _ = native_lib.wav_read(paths[0])
+    np.testing.assert_array_equal(results[0][0], single)
+
+
+def test_native_quantize(native_lib):
+    data = np.asarray([0.0, 0.5, -0.5, 2.0], np.float32)
+    q, clipped = native_lib.quantize_int16(data)
+    assert clipped == 1
+    assert q[3] == 32767
+    np.testing.assert_allclose(q[1], 16383, atol=1)
+
+    qn, c = native_lib.quantize_int16(np.asarray([0.25, -0.5], np.float32), normalize=True)
+    assert c == 0 and qn[1] == -32767
+
+
+def test_tfrecord_writer_uses_native_crc(native_lib, tmp_path):
+    """Records written with the native CRC verify under strict reading."""
+    from speech_separation_tpu import data
+
+    records = [b"abc", bytes(1000)]
+    path = tmp_path / "native_crc.tfrecords"
+    data.write_tfrecord_file(path, records)
+    assert list(data.read_tfrecord_file(path, verify_crc=True)) == records
