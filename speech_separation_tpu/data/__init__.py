@@ -8,7 +8,8 @@ from .datasets import (
     load_tfrecord_spectrograms,
     prefetch_to_device,
 )
-from .features import FeatureConfig, generate_split, max_length, utterance_names
+from .features import FeatureConfig, generate_librimix, generate_split, max_length, utterance_names
+from .fixture import make_synthetic_fixture
 from .tfrecord import (
     build_sequence_example,
     parse_sequence_example,
@@ -31,10 +32,12 @@ __all__ = [
     "prefetch_to_device",
     "FeatureConfig",
     "generate_split",
+    "generate_librimix",
     "max_length",
     "utterance_names",
     "build_sequence_example",
     "parse_sequence_example",
     "read_tfrecord_file",
     "write_tfrecord_file",
+    "make_synthetic_fixture",
 ]

@@ -112,6 +112,28 @@ class WaveformLoader:
         ]
         return mix, sources
 
+    def _load_batch(self, names):
+        """Decode a whole batch, using the native thread pool when available
+        and no resampling is needed."""
+        try:
+            from .. import native
+        except ImportError:
+            native = None
+        if native is not None and native.available():
+            paths = [self.split_dir / "mix" / n for n in names]
+            for i in range(self.num_speakers):
+                paths += [self.split_dir / f"s{i + 1}" / n for n in names]
+            decoded = native.wav_read_batch(paths)
+            if all(sr == self.sample_rate for _, sr in decoded):
+                b = len(names)
+                mixes = [d for d, _ in decoded[:b]]
+                sources = [
+                    [decoded[(s + 1) * b + i][0] for s in range(self.num_speakers)]
+                    for i in range(b)
+                ]
+                return list(zip(mixes, sources))
+        return [self._load_one(n) for n in names]
+
     def __iter__(self) -> Iterator[WaveformBatch]:
         order = np.arange(len(self.names))
         if self.shuffle:
@@ -123,7 +145,7 @@ class WaveformLoader:
             if self.drop_remainder and len(idx) < self.batch_size:
                 return
             names = tuple(self.names[i] for i in idx)
-            loaded = [self._load_one(n) for n in names]
+            loaded = self._load_batch(names)
             lengths = np.asarray([len(m) for m, _ in loaded], dtype=np.int32)
             padded = _round_up(int(lengths.max()), quantum)
             b = len(loaded)

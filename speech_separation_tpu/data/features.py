@@ -32,7 +32,13 @@ import numpy as np
 from .audio_io import audioread
 from .tfrecord import build_sequence_example, write_tfrecord_file
 
-__all__ = ["FeatureConfig", "generate_split", "utterance_names", "max_length"]
+__all__ = [
+    "FeatureConfig",
+    "generate_split",
+    "generate_librimix",
+    "utterance_names",
+    "max_length",
+]
 
 Mode = Literal["mixed", "signal", "raw"]
 
@@ -43,6 +49,7 @@ class FeatureConfig:
     window_size: int = 256
     window_shift: int = 128
     mode: Mode = "mixed"
+    mix_dirname: str = "mix"  # LibriMix trees use "mix_clean"
 
 
 def _stft_np(x: np.ndarray, size: int, shift: int) -> np.ndarray:
@@ -60,20 +67,25 @@ def _stft_np(x: np.ndarray, size: int, shift: int) -> np.ndarray:
     return np.fft.rfft(x[idx] * win, axis=-1)
 
 
-def utterance_names(split_dir: pathlib.Path) -> list[str]:
+def utterance_names(split_dir: pathlib.Path, mix_dirname: str = "mix") -> list[str]:
     """Wav names in a split (from ``lists/*.lst`` if present, else listdir)."""
     split_dir = pathlib.Path(split_dir)
     lst = split_dir.parent / "lists" / f"{split_dir.name}_wav.lst"
     if lst.exists():
         return [line.strip() for line in lst.read_text().splitlines() if line.strip()]
-    return sorted(p.name for p in (split_dir / "mix").glob("*.wav"))
+    return sorted(p.name for p in (split_dir / mix_dirname).glob("*.wav"))
 
 
-def max_length(split_dir: pathlib.Path, names: Sequence[str], sample_rate: int) -> int:
+def max_length(
+    split_dir: pathlib.Path,
+    names: Sequence[str],
+    sample_rate: int,
+    mix_dirname: str = "mix",
+) -> int:
     """Split max mixture length in samples, rounded up to whole seconds."""
     longest = 0
     for name in names:
-        wav = audioread(split_dir / "mix" / name, sample_rate)
+        wav = audioread(split_dir / mix_dirname / name, sample_rate)
         longest = max(longest, len(wav))
     return math.ceil(longest / sample_rate) * sample_rate
 
@@ -82,7 +94,7 @@ def _encode_utterance(
     split_dir: pathlib.Path, name: str, cfg: FeatureConfig, max_len: int
 ) -> list[tuple[str, bytes]]:
     """→ [(record_stem, serialized SequenceExample)] for one utterance."""
-    mix = audioread(split_dir / "mix" / name, cfg.sample_rate)
+    mix = audioread(split_dir / cfg.mix_dirname / name, cfg.sample_rate)
     s1 = audioread(split_dir / "s1" / name, cfg.sample_rate)
     s2 = audioread(split_dir / "s2" / name, cfg.sample_rate)
     stem = pathlib.Path(name).stem
@@ -147,13 +159,15 @@ def generate_split(
     out_dir: str | pathlib.Path,
     cfg: FeatureConfig = FeatureConfig(),
     max_workers: int = 8,
+    max_len: int | None = None,
 ) -> list[pathlib.Path]:
     """Write one TFRecord per utterance (per source in ``signal`` mode)."""
     split_dir = pathlib.Path(split_dir)
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    names = utterance_names(split_dir)
-    max_len = max_length(split_dir, names, cfg.sample_rate)
+    names = utterance_names(split_dir, cfg.mix_dirname)
+    if max_len is None:
+        max_len = max_length(split_dir, names, cfg.sample_rate, cfg.mix_dirname)
 
     written: list[pathlib.Path] = []
     with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
@@ -166,3 +180,52 @@ def generate_split(
                 write_tfrecord_file(path, [example])
                 written.append(path)
     return written
+
+
+def generate_librimix(
+    root: str | pathlib.Path,
+    out_root: str | pathlib.Path | None = None,
+    bands: Sequence[str] = ("wav8k",),
+    conditions: Sequence[str] = ("max", "min"),
+    splits: Sequence[str] = ("dev",),
+    cfg: FeatureConfig = FeatureConfig(mix_dirname="mix_clean"),
+    max_workers: int = 8,
+    max_lens: dict[str, int] | None = None,
+) -> dict[str, int]:
+    """Bulk conversion of a Libri2Mix directory tree.
+
+    Walks ``{root}/{band}/{condition}/{split}/`` (the layout the reference's
+    converters sweep: `parallel_stft.py:288-320`,
+    `parallel_stft_single.py:219-415`) and writes
+    ``{split}_tfrecord`` directories next to each split. Splits are converted
+    concurrently (one worker per split, each with its own encode pool).
+    ``max_lens`` optionally pins per-condition pad lengths in samples (the
+    ``_single`` variant hardcodes these for known trees); otherwise each split
+    is pre-scanned.
+
+    Returns ``{split_path: record_count}``.
+    """
+    root = pathlib.Path(root)
+    out_root = pathlib.Path(out_root) if out_root is not None else root
+    jobs = []
+    for band in bands:
+        for condition in conditions:
+            for split in splits:
+                split_dir = root / band / condition / split
+                if not split_dir.exists():
+                    continue
+                out_dir = out_root / band / condition / split / f"{split}_tfrecord"
+                max_len = (max_lens or {}).get(condition)
+                jobs.append((split_dir, out_dir, max_len))
+
+    results: dict[str, int] = {}
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max(1, len(jobs))) as pool:
+        futures = {
+            pool.submit(
+                generate_split, split_dir, out_dir, cfg, max_workers, max_len
+            ): split_dir
+            for split_dir, out_dir, max_len in jobs
+        }
+        for future, split_dir in futures.items():
+            results[str(split_dir)] = len(future.result())
+    return results

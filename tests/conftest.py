@@ -26,10 +26,13 @@ FIXTURE_ROOT = REFERENCE_ROOT / "mycode" / "wsj0_2mix" / "use_this"
 
 
 @pytest.fixture(scope="session")
-def fixture_root() -> pathlib.Path:
-    if not FIXTURE_ROOT.exists():
-        pytest.skip("bundled wsj0-2mix fixture not available")
-    return FIXTURE_ROOT
+def fixture_root(tmp_path_factory) -> pathlib.Path:
+    if FIXTURE_ROOT.exists():
+        return FIXTURE_ROOT
+    # no reference checkout: generate the synthetic equivalent
+    from speech_separation_tpu.data.fixture import make_synthetic_fixture
+
+    return make_synthetic_fixture(tmp_path_factory.mktemp("synthetic_fixture"))
 
 
 @pytest.fixture(scope="session")
