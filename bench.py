@@ -26,7 +26,7 @@ def main() -> None:
     from speech_separation_tpu.ops.stft import istft, stft
 
     sample_rate = 8000
-    batch, seconds = 16, 8
+    batch, seconds = 128, 8
     samples = sample_rate * seconds
     size, shift, num_speakers = 256, 128, 2
 
@@ -61,7 +61,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run_chained(2)  # warmup / compile
-    iters = 20
+    iters = 10
     elapsed = run_chained(iters)
 
     audio_seconds = batch * seconds * iters

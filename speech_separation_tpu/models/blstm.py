@@ -33,7 +33,7 @@ class LSTM(nn.Module):
     """Unidirectional LSTM over ``[batch, time, features]``, returns all states."""
 
     features: int
-    unroll: int = 8
+    unroll: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +79,7 @@ class BiLSTM(nn.Module):
     """
 
     features: int
-    unroll: int = 8
+    unroll: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

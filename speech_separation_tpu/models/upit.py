@@ -50,7 +50,7 @@ class UPitBlstm(nn.Module):
     num_layers: int = 3
     num_speakers: int = 2
     dropout_rate: float = 0.8
-    unroll: int = 8
+    unroll: int = 16
 
     @nn.compact
     def __call__(self, magnitude: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -70,7 +70,7 @@ class UPitConv(nn.Module):
     num_layers: int = 3
     num_speakers: int = 2
     dropout_rate: float = 0.8
-    unroll: int = 8
+    unroll: int = 16
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
