@@ -27,6 +27,32 @@ def test_nearest_code_pallas_unaligned_shapes():
     np.testing.assert_array_equal(got, want)
 
 
+def test_stft_pallas_matches_matmul_path():
+    import jax.numpy as jnp
+
+    from speech_separation_tpu.ops import stft
+    from speech_separation_tpu.ops.stft_pallas import stft_pallas
+
+    x = RNG.standard_normal((2, 20000)).astype(np.float32)
+    got = np.asarray(stft_pallas(jnp.asarray(x)))
+    want = np.asarray(stft(jnp.asarray(x), 256, 128, method="matmul"))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.real, want.real, atol=1e-4)
+    np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
+
+
+def test_stft_pallas_single_sequence_and_odd_length():
+    import jax.numpy as jnp
+
+    from speech_separation_tpu.ops import stft
+    from speech_separation_tpu.ops.stft_pallas import stft_pallas
+
+    x = RNG.standard_normal(12345).astype(np.float32)
+    got = np.asarray(stft_pallas(jnp.asarray(x), tile_frames=32))
+    want = np.asarray(stft(jnp.asarray(x), 256, 128, method="matmul"))
+    np.testing.assert_allclose(np.abs(got), np.abs(want), atol=1e-4)
+
+
 def test_vector_quantizer_pallas_path_matches_xla():
     import jax
 
