@@ -150,6 +150,7 @@ def cmd_train(args) -> None:
             epochs=cfg.epochs,
             patience=cfg.patience,
             checkpoints=ckpt,
+            resume=args.resume,
         )
         logger.close()
         ckpt.close()
@@ -226,6 +227,7 @@ def cmd_train(args) -> None:
             epochs=cfg.epochs,
             patience=cfg.patience,
             checkpoints=ckpt,
+            resume=args.resume,
         )
         ckpt.close()
         print(
@@ -364,6 +366,7 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int)
     p.add_argument("--epochs", type=int)
     p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("separate", help="separate a split with a trained model")

@@ -45,6 +45,10 @@ class CheckpointManager:
     def best_step(self) -> int | None:
         return self._manager.best_step()
 
+    @property
+    def latest_step(self) -> int | None:
+        return self._manager.latest_step()
+
     def restore(self, state: Any, step: int | None = None) -> Any:
         """Restore array leaves into ``state`` (a template with matching tree)."""
         if step is None:

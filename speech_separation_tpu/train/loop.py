@@ -9,7 +9,10 @@ loop (`vq-vae_for_1d_data.ipynb cell 19`):
 - early stop after ``patience`` epochs without val improvement, restoring the
   best snapshot (full train state, not just weights);
 - loss history collected for curve dumps;
-- batches are device-prefetched (double buffer) so host prep overlaps compute.
+- batches are device-prefetched (double buffer) so host prep overlaps compute;
+- failure detection the reference lacks: a non-finite train loss aborts the
+  epoch loop and restores the best finite state (``FitResult.diverged``),
+  and ``resume=True`` restarts from the newest checkpoint snapshot.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ class FitResult:
     best_val_loss: float = float("inf")
     best_epoch: int = -1
     stopped_early: bool = False
+    diverged: bool = False
 
 
 def fit(
@@ -48,6 +52,7 @@ def fit(
     restore_best: bool = True,
     log_fn: Callable[[str], None] = print,
     prefetch: int = 2,
+    resume: bool = False,
 ) -> FitResult:
     """Train with per-epoch validation.
 
@@ -56,6 +61,13 @@ def fit(
     ``train_step(state, *arrays) -> (state, loss)``;
     ``eval_step(state, *arrays) -> loss`` (extra outputs are ignored).
     """
+    if resume and checkpoints is not None:
+        try:
+            state = checkpoints.restore(state, step=checkpoints.latest_step)
+            log_fn(f"resumed from checkpoint step {checkpoints.latest_step}")
+        except FileNotFoundError:
+            pass
+
     result = FitResult(state=state, history={"loss": [], "val_loss": []})
     best_state = state
     since_best = 0
@@ -66,6 +78,13 @@ def fit(
         for batch in prefetch_to_device(iter(train_loader), prefetch):
             state, loss, *_ = _as_tuple(train_step(state, *batch_arrays(batch)))
             train_losses.append(loss)
+        if train_losses and not np.isfinite(float(train_losses[-1])):
+            result.diverged = True
+            log_fn(
+                f"non-finite train loss at epoch {epoch}; stopping and restoring "
+                f"best state (epoch {result.best_epoch})"
+            )
+            break
         val_losses = []
         for batch in prefetch_to_device(iter(val_loader), prefetch):
             out = eval_step(state, *batch_arrays(batch))
