@@ -1,4 +1,5 @@
 from .mesh import initialize_distributed, make_mesh
+from .sequence import sharded_istft, sharded_stft
 from .sharding import (
     batch_sharding,
     param_pspec,
@@ -11,6 +12,8 @@ from .sharding import (
 __all__ = [
     "initialize_distributed",
     "make_mesh",
+    "sharded_stft",
+    "sharded_istft",
     "batch_sharding",
     "param_pspec",
     "replicated",
