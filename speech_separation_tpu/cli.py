@@ -332,6 +332,33 @@ def _restore_vae(checkpoint_dir: str):
     return cfg, model, state
 
 
+def cmd_codec_decode(args) -> None:
+    """Decode a saved code array back to a waveform (self-contained codecs).
+
+    Only the Gumbel codec's codes are self-contained; the t2/t3 hierarchies
+    carry a U-skip from the encoder (as in the reference topologies), so
+    their codes alone cannot reconstruct — use ``codec-roundtrip`` there.
+    """
+    import jax.numpy as jnp
+
+    from .data import audiowrite
+    from .models import VqVaeGumbel
+
+    cfg, model, state = _restore_vae(args.checkpoint_dir)
+    if not isinstance(model, VqVaeGumbel):
+        raise SystemExit(
+            f"codec-decode requires the self-contained 'gumbel' codec; the "
+            f"{cfg.variant!r} hierarchy has a U-skip and needs codec-roundtrip"
+        )
+    codes = jnp.asarray(np.load(args.codes))
+    wav = model.apply(
+        {"params": state.params}, codes, method=VqVaeGumbel.decode_codes
+    )
+    out = np.asarray(wav).reshape(-1)
+    audiowrite(out, args.out, cfg.sample_rate, normalize=True)
+    print(json.dumps({"out": str(args.out), "samples": int(out.size)}))
+
+
 def cmd_codec_roundtrip(args) -> None:
     """Encode + decode a wav through the codec, write the reconstruction."""
     import jax.numpy as jnp
@@ -388,6 +415,12 @@ def main(argv=None) -> None:
     p.add_argument("--wav", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(func=cmd_codec_encode)
+
+    p = sub.add_parser("codec-decode", help="codes.npy → wav (gumbel codec)")
+    p.add_argument("--checkpoint-dir", default="./CKPT")
+    p.add_argument("--codes", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(func=cmd_codec_decode)
 
     p = sub.add_parser("codec-roundtrip", help="wav → codec → wav reconstruction")
     p.add_argument("--checkpoint-dir", default="./CKPT")

@@ -1,0 +1,109 @@
+"""Coverage for auxiliary pieces: speaker info, profiling utils, fit guards,
+config round-trip, synthetic fixture."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_speaker_info_parses_reference_file(reference_root):
+    from speech_separation_tpu.data.speaker_info import (
+        load_speaker_genders,
+        mixture_genders,
+    )
+
+    genders = load_speaker_genders(reference_root / "wsj0-train-spkrinfo.txt")
+    assert len(genders) > 100
+    assert set(genders.values()) <= {0, 1}
+    g1, g2 = mixture_genders("447o0302_0.62948_441c0212_-0.62948.wav", genders)
+    assert g1 in (0, 1) and g2 in (0, 1)
+
+
+def test_metrics_logger_and_step_timer(tmp_path):
+    from speech_separation_tpu.utils import MetricsLogger, StepTimer
+
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricsLogger(path)
+    logger.log(1, loss=2.5)
+    logger.log(2, loss=1.5, extra=3.0)
+    logger.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["loss"] == 2.5 and lines[1]["extra"] == 3.0
+
+    timer = StepTimer()
+    for _ in range(3):
+        timer.start()
+        timer.stop(sync_on=jnp.ones(4))
+    summary = timer.summary()
+    assert summary["steps"] == 3 and summary["mean_s"] > 0
+
+
+def test_config_json_roundtrip(tmp_path):
+    from speech_separation_tpu.utils import UPitTrainConfig, load_config, save_config
+
+    cfg = UPitTrainConfig(hidden=7, epochs=3)
+    path = tmp_path / "cfg.json"
+    save_config(cfg, path)
+    back = load_config(UPitTrainConfig, path)
+    assert back == cfg
+    over = load_config(UPitTrainConfig, path, {"epochs": 9, "batch_size": None})
+    assert over.epochs == 9 and over.hidden == 7
+
+
+def test_fit_detects_divergence():
+    from speech_separation_tpu import train
+
+    class Loader:
+        def __iter__(self):
+            return iter([(jnp.ones(2),)])
+
+    def train_step(state, x):
+        return state, jnp.asarray(float("nan"))
+
+    def eval_step(state, x):
+        return jnp.asarray(1.0)
+
+    result = train.fit(
+        state=object(),
+        train_step=train_step,
+        eval_step=eval_step,
+        train_loader=Loader(),
+        val_loader=Loader(),
+        batch_arrays=lambda b: b,
+        epochs=3,
+        log_fn=lambda s: None,
+    )
+    assert result.diverged
+    assert len(result.history["loss"]) == 0  # aborted before recording epoch 1
+
+
+def test_synthetic_fixture_layout(tmp_path):
+    from speech_separation_tpu.data import WaveformLoader, make_synthetic_fixture
+
+    root = make_synthetic_fixture(tmp_path / "fx", utterances_per_split=2)
+    for split in ("tr", "cv", "tt"):
+        for sub in ("mix", "s1", "s2"):
+            assert len(list((root / split / sub).glob("*.wav"))) == 2
+        assert (root / "lists" / f"{split}_wav.lst").exists()
+    batch = next(iter(WaveformLoader(root / "tt", batch_size=2)))
+    # mixtures are the true sum of sources (up to int16 quantisation)
+    np.testing.assert_allclose(
+        batch.mix, batch.sources.sum(axis=1), atol=2.5 / 32768
+    )
+
+
+def test_bench_script_is_well_formed():
+    # don't run it (TPU-only), but ensure it imports and has a main
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)
