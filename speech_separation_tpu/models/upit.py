@@ -51,12 +51,14 @@ class UPitBlstm(nn.Module):
     num_speakers: int = 2
     dropout_rate: float = 0.8
     unroll: int = 16
+    remat: bool = False  # rematerialise BiLSTM layers: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, magnitude: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         h = nn.tanh(nn.Dense(self.hidden, name="input_proj")(magnitude))
+        layer_cls = nn.remat(BiLSTM) if self.remat else BiLSTM
         for i in range(self.num_layers):
-            h = BiLSTM(self.hidden, unroll=self.unroll, name=f"bilstm_{i}")(h)
+            h = layer_cls(self.hidden, unroll=self.unroll, name=f"bilstm_{i}")(h)
             h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return _MaskHeads(self.output_size, self.num_speakers, name="heads")(h, magnitude)
 
