@@ -29,7 +29,13 @@ from ..data.datasets import WaveformLoader, prefetch_to_device
 from ..ops.features import magnitude_angle
 from ..ops.stft import istft, stft
 
-__all__ = ["make_separate_fn", "separated_length", "separate_directory"]
+__all__ = [
+    "make_separate_fn",
+    "make_separate_from_spectrogram_fn",
+    "separated_length",
+    "separate_directory",
+    "separate_from_records",
+]
 
 
 def separated_length(frames: int, size: int, shift: int) -> int:
@@ -63,6 +69,74 @@ def make_separate_fn(
         return jnp.stack(wavs, axis=1)
 
     return separate
+
+
+def make_separate_from_spectrogram_fn(
+    model,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    method: str = "matmul",
+) -> Callable:
+    """Jitted separation from precomputed magnitude/phase (the reference's
+    exact inference inputs, `uPIT_baseline.ipynb cell 41`: model on magnitude,
+    masks × magnitude, phase reapplied from the stored mixture angle)."""
+
+    @jax.jit
+    def separate(params, magnitude, cos_angle, sin_angle, frame_lengths):
+        preds = model.apply({"params": params}, magnitude, deterministic=True)
+        t, f = magnitude.shape[-2], magnitude.shape[-1]
+        frame_mask = (jnp.arange(t)[None, :] < frame_lengths[:, None]).astype(
+            magnitude.dtype
+        )
+        wavs = []
+        for s in range(num_speakers):
+            est = preds[..., s * f : (s + 1) * f] * frame_mask[..., None]
+            spec = jax.lax.complex(est * cos_angle, est * sin_angle)
+            wavs.append(istft(spec, size, shift, method=method))
+        return jnp.stack(wavs, axis=1)
+
+    return separate
+
+
+def separate_from_records(
+    model,
+    params,
+    record_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    batch_size: int = 2,
+    sample_rate: int = 8000,
+    normalize: bool = True,
+) -> list[pathlib.Path]:
+    """Separate using the reference's pre-built spectrogram TFRecords as input."""
+    from ..data.datasets import load_tfrecord_spectrograms
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    separate = make_separate_from_spectrogram_fn(model, size, shift, num_speakers)
+    written: list[pathlib.Path] = []
+    for batch in load_tfrecord_spectrograms(record_dir, batch_size=batch_size):
+        wavs = np.asarray(
+            separate(
+                params,
+                jnp.asarray(batch.magnitude),
+                jnp.asarray(batch.cos_angle),
+                jnp.asarray(batch.sin_angle),
+                jnp.asarray(batch.lengths),
+            )
+        )
+        for i, name in enumerate(batch.names):
+            true_len = separated_length(int(batch.lengths[i]), size, shift)
+            for s in range(num_speakers):
+                path = out_dir / f"{name}_s{s + 1}.wav"
+                audiowrite(
+                    wavs[i, s, :true_len], path, samplerate=sample_rate, normalize=normalize
+                )
+                written.append(path)
+    return written
 
 
 def separate_directory(
