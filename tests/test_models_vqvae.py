@@ -166,3 +166,22 @@ class TestTopologies:
         last = float(eval_step(state, x, targets)[0])
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.8
+
+
+def test_gumbel_vae_training_reduces_loss():
+    from speech_separation_tpu import train
+    from speech_separation_tpu.losses import summed_squared_error
+
+    model = VqVaeGumbel(latent_dim=16)
+    rng = jax.random.key(0)
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.standard_normal((2, 128, 1)), jnp.float32) * 0.1
+
+    params = model.init({"params": rng, "gumbel": jax.random.key(1)}, x)["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    train_step, eval_step = train.make_vae_steps(model, summed_squared_error)
+    first = float(eval_step(state, x, x)[0])
+    for _ in range(25):
+        state, loss, recon = train_step(state, x, x)
+    last = float(eval_step(state, x, x)[0])
+    assert np.isfinite(first) and last < first
