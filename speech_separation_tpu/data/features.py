@@ -7,8 +7,8 @@ framework's own DSP and TFRecord codec — TensorFlow-free:
 - ``mixed``  : per utterance one record with ``inputs = concat(|mix|, ∠mix)``
                and phase-sensitive-mask labels
                ``concat(|s1|·cos(∠mix−∠s1), |s2|·cos(∠mix−∠s2))``;
-- ``signal`` : per source one record with ``inputs = concat(|s|, ∠s)`` of the
-               mixture and ``labels = concat(|s_i|, ∠s_i)``;
+- ``signal`` : one record per source with ``inputs = |s_i|`` and
+               ``labels = ∠s_i`` (magnitude/phase pairs for codec work);
 - ``raw``    : raw waveform inputs ``[T, 1]`` and stacked source labels
                ``[T, 2]``.
 
@@ -137,16 +137,16 @@ def _encode_utterance(
         )
         return [(stem, example)]
 
-    # mode == "signal": one record per source, mixture features as inputs
+    # mode == "signal": one record per source — inputs |s|, labels ∠s, length
+    # = the unpadded source's frame count (reference `uPIT cell 10` signal branch)
     out = []
-    inputs = np.concatenate([mix_abs, mix_ang], axis=1).astype(np.float32)
-    for tag, spec in (("s1", s1_spec), ("s2", s2_spec)):
-        labels = np.concatenate([np.abs(spec), np.angle(spec)], axis=1).astype(np.float32)
+    for tag, spec, wav in (("s1", s1_spec, s1), ("s2", s2_spec, s2)):
+        src_frames = _stft_np(wav, size, shift).shape[0]
         example = build_sequence_example(
             {
-                "inputs": list(inputs),
-                "labels": list(labels),
-                "length": [np.asarray([float(true_frames)])],
+                "inputs": list(np.abs(spec).astype(np.float32)),
+                "labels": list(np.angle(spec).astype(np.float32)),
+                "length": [np.asarray([float(src_frames)])],
                 "name": [f"{stem}_{tag}"],
             }
         )

@@ -164,3 +164,40 @@ def test_feature_writer_matches_reference_records(fixture_root, reference_root, 
     scale = np.abs(ref.magnitude).max()
     np.testing.assert_allclose(ours.magnitude[order], ref.magnitude, atol=1e-3 * scale)
     np.testing.assert_allclose(ours.labels[order], ref.labels, atol=2e-3 * scale)
+
+
+def test_reads_reference_one_source_records(reference_root, fixture_root, tmp_path):
+    """'signal' mode records: inputs |s| [T,129], labels ∠s [T,129]."""
+    batches = data.load_tfrecord_spectrograms(
+        reference_root / "mycode" / "tfrecords" / "tt_one_source_tfrecord", batch_size=8
+    )
+    ref = batches[0]
+    assert ref.magnitude.shape[0] == 8  # 4 utts × 2 sources
+    assert ref.magnitude.shape[-1] == 129
+    assert ref.magnitude.min() >= 0  # magnitudes
+    assert -3.2 < ref.labels.min() < -3.0  # angles in (−π, π]
+
+    # our signal-mode writer reproduces the reference records numerically
+    data.generate_split(
+        fixture_root / "tt", tmp_path, data.FeatureConfig(mode="signal")
+    )
+    ours = data.load_tfrecord_spectrograms(tmp_path, batch_size=8)[0]
+    order = [ours.names.index(n) for n in ref.names]
+    scale = np.abs(ref.magnitude).max()
+    np.testing.assert_allclose(ours.magnitude[order], ref.magnitude, atol=1e-3 * scale)
+    np.testing.assert_allclose(ours.lengths[order], ref.lengths)
+
+
+def test_reads_reference_raw_records(reference_root):
+    from speech_separation_tpu.data.tfrecord import parse_sequence_example, read_tfrecord_file
+
+    path = next(
+        (reference_root / "mycode" / "tfrecords" / "tt_raw_tfrecord").glob("*.tfrecords")
+    )
+    feats = parse_sequence_example(next(iter(read_tfrecord_file(path))))
+    inputs = np.stack(feats["inputs"])  # [T, 1] raw waveform
+    labels = np.stack(feats["labels"])  # [T, 2] stacked sources
+    assert inputs.shape[1] == 1 and labels.shape[1] == 2
+    # mixture ≈ s1 + s2
+    corr = np.corrcoef(inputs[:, 0], labels.sum(axis=1))[0, 1]
+    assert corr > 0.9
