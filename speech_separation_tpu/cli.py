@@ -324,7 +324,11 @@ def _restore_vae(checkpoint_dir: str):
     rng = jax.random.key(cfg.seed)
     init_rngs = {"params": rng} if stacked else {"params": rng, "gumbel": rng}
     params = model.init(init_rngs, example)["params"]
-    tx = train.nadam(cfg.learning_rate)
+    # optimizer template must match the one used in training or the restored
+    # opt-state tree won't line up
+    tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3") else train.adam(
+        cfg.learning_rate if cfg.variant != "gumbel" else 1e-4
+    )
     state = train.TrainState.create(model.apply, params, tx, rng)
     ckpt = train.CheckpointManager(checkpoint_dir)
     state = ckpt.restore(state)

@@ -45,6 +45,50 @@ from .stft import _pad_for_stft, analysis_basis
 __all__ = ["stft_pallas"]
 
 
+def _make_kernel_db(tile_frames: int, size: int, shift: int, bins2: int):
+    """Double-buffered variant: prefetch tile t+1's chunks during tile t's
+    matmuls (guide pattern 'Double Buffering'). Scratch persists across grid
+    steps on TPU, so slot t%2 carries the in-flight DMA between iterations."""
+    k = size // shift
+
+    def kernel(signal_hbm, basis_ref, out_ref, scratch, sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        def chunk_dma(dst_slot, tile_idx, c):
+            return pltpu.make_async_copy(
+                signal_hbm.at[b, pl.ds(tile_idx * tile_frames + c, tile_frames), :],
+                scratch.at[dst_slot, c],
+                sems.at[dst_slot, c],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for c in range(k):
+                chunk_dma(slot, t, c).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for c in range(k):
+                chunk_dma(nxt, t + 1, c).start()
+
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        for c in range(k):
+            chunk_dma(slot, t, c).wait()
+            acc = acc + jnp.dot(
+                scratch[slot, c],
+                basis_ref[c],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[0] = acc
+
+    return kernel
+
+
 def _make_kernel(tile_frames: int, size: int, shift: int, bins2: int):
     k = size // shift
     chunk = (tile_frames + k - 1) * shift
@@ -84,7 +128,8 @@ def _make_kernel(tile_frames: int, size: int, shift: int, bins2: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size", "shift", "tile_frames", "interpret")
+    jax.jit,
+    static_argnames=("size", "shift", "tile_frames", "interpret", "double_buffer"),
 )
 def _stft_pallas_padded(
     signal: jnp.ndarray,
@@ -92,6 +137,7 @@ def _stft_pallas_padded(
     shift: int,
     tile_frames: int,
     interpret: bool,
+    double_buffer: bool = True,
 ) -> jnp.ndarray:
     """signal: [B, samples] already fade/frame padded → [B, F, 2*bins]."""
     b, samples = signal.shape
@@ -105,11 +151,26 @@ def _stft_pallas_padded(
     if needed > samples:
         signal = jnp.pad(signal, ((0, 0), (0, needed - samples)))
 
-    kernel, rows = _make_kernel(tile_frames, size, shift, bins2)
     k = size // shift
+    if double_buffer:
+        kernel = _make_kernel_db(tile_frames, size, shift, bins2)
+        n_slots = 2
+    else:
+        kernel, _ = _make_kernel(tile_frames, size, shift, bins2)
     signal = signal.reshape(b, needed // shift, shift)  # shift-rows for 2-D DMA
     basis = analysis_basis(size).reshape(k, shift, bins2)  # row blocks B_c
 
+    scratch = (
+        [
+            pltpu.VMEM((2, k, tile_frames, shift), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, k)),
+        ]
+        if double_buffer
+        else [
+            pltpu.VMEM((k, tile_frames, shift), jnp.float32),
+            pltpu.SemaphoreType.DMA((k,)),
+        ]
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, padded_frames, bins2), jnp.float32),
@@ -123,10 +184,7 @@ def _stft_pallas_padded(
             out_specs=pl.BlockSpec(
                 (1, tile_frames, bins2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((k, tile_frames, shift), jnp.float32),
-                pltpu.SemaphoreType.DMA((k,)),
-            ],
+            scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(signal, basis)
@@ -140,12 +198,20 @@ def stft_pallas(
     *,
     fading: bool = True,
     tile_frames: int = 128,
+    double_buffer: bool = True,
 ) -> jnp.ndarray:
     """Batched complex STFT via the fused kernel. ``signal``: [B, samples]."""
     if signal.ndim == 1:
-        return stft_pallas(signal[None], size, shift, fading=fading, tile_frames=tile_frames)[0]
+        return stft_pallas(
+            signal[None],
+            size,
+            shift,
+            fading=fading,
+            tile_frames=tile_frames,
+            double_buffer=double_buffer,
+        )[0]
     padded = _pad_for_stft(signal.astype(jnp.float32), size, shift, fading)
     interpret = jax.default_backend() != "tpu"
-    flat = _stft_pallas_padded(padded, size, shift, tile_frames, interpret)
+    flat = _stft_pallas_padded(padded, size, shift, tile_frames, interpret, double_buffer)
     bins = size // 2 + 1
     return jax.lax.complex(flat[..., :bins], flat[..., bins:])

@@ -35,7 +35,7 @@ class CheckpointManager:
         """Save a snapshot; the manager keeps the best ``max_to_keep`` by val_loss."""
         saved = self._manager.save(
             step,
-            args=ocp.args.StandardSave(_arrays_only(state)),
+            args=ocp.args.StandardSave(state),
             metrics={"val_loss": float(val_loss)},
         )
         self._manager.wait_until_finished()
@@ -55,22 +55,13 @@ class CheckpointManager:
             step = self._manager.best_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self._dir}")
-        restored = self._manager.restore(
-            step, args=ocp.args.StandardRestore(_arrays_only(state))
-        )
-        return _merge_arrays(state, restored)
+        restored = self._manager.restore(step, args=ocp.args.StandardRestore(state))
+        # rebuild on the template's treedef so static fields (tx, apply_fn —
+        # non-pytree nodes) come from the template, arrays from the snapshot
+        leaves, treedef = jax.tree.flatten(state)
+        new_leaves = jax.tree.leaves(restored)
+        assert len(leaves) == len(new_leaves)
+        return jax.tree.unflatten(treedef, new_leaves)
 
     def close(self) -> None:
         self._manager.close()
-
-
-def _arrays_only(state: Any) -> Any:
-    """Project a TrainState-like pytree onto its array leaves."""
-    return jax.tree.map(lambda x: x, state)
-
-
-def _merge_arrays(template: Any, restored: Any) -> Any:
-    leaves, treedef = jax.tree.flatten(template)
-    new_leaves = jax.tree.leaves(restored)
-    assert len(leaves) == len(new_leaves)
-    return jax.tree.unflatten(treedef, new_leaves)

@@ -34,11 +34,12 @@ def test_stft_pallas_matches_matmul_path():
     from speech_separation_tpu.ops.stft_pallas import stft_pallas
 
     x = RNG.standard_normal((2, 20000)).astype(np.float32)
-    got = np.asarray(stft_pallas(jnp.asarray(x)))
     want = np.asarray(stft(jnp.asarray(x), 256, 128, method="matmul"))
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got.real, want.real, atol=1e-4)
-    np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
+    for double_buffer in (False, True):
+        got = np.asarray(stft_pallas(jnp.asarray(x), double_buffer=double_buffer))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got.real, want.real, atol=1e-4)
+        np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
 
 
 def test_stft_pallas_single_sequence_and_odd_length():
