@@ -21,7 +21,7 @@ from __future__ import annotations
 import pathlib
 import threading
 import wave
-from typing import Sequence
+
 
 import numpy as np
 from scipy.io import wavfile as _wavfile

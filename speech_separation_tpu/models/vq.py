@@ -18,7 +18,6 @@ row/column norms; a fused Pallas kernel (``ops/vq_pallas.py``) keeps the
 
 from __future__ import annotations
 
-from typing import Callable
 
 import flax.linen as nn
 import jax
