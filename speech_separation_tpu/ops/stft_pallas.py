@@ -20,15 +20,19 @@ F·2·bins`` — the framed intermediate never exists.
 Runs in interpreter mode off-TPU, so the unit tests exercise the same code
 path on the CPU mesh.
 
-Status / measured result (TPU v5e): numerically exact vs the XLA path
-(≤4e-6), but ~36× slower at production sizes (70.9 ms vs 1.9 ms for
-16×8 s @ 8 kHz) — this kernel serialises its per-tile chunk DMAs, while
-XLA's fused reshape+matmul pipeline double-buffers automatically and the
-framed intermediate it materialises turns out to be cheap at these sizes.
-The production default therefore remains ``ops.stft(method="matmul")``;
-this kernel is kept as the validated foundation for a future
-double-buffered variant (overlap DMA of tile t+1 with the matmul of tile
-t, see the pipelining pattern in the Pallas guide).
+Status / measured results (TPU v5e, 16 × 8 s @ 8 kHz, warm):
+
+- numerically exact vs the XLA matmul path (≤ 4e-6);
+- single-buffer kernel: **1.11 ms vs XLA 1.19 ms** (~7% faster — the fused
+  kernel skips the framed ``[F, size]`` HBM intermediate);
+- the explicit double-buffer variant (``double_buffer=True``) measures
+  *slower* (2.6 ms at smaller sizes): Mosaic already pipelines the grid
+  steps' DMAs, so manual slotting only adds semaphore traffic. Kept for
+  reference; default is the single-buffer kernel.
+
+The STFT is a small slice of the full pipeline, so ``ops.stft`` keeps
+``method="matmul"`` as its default for robustness; use this kernel via
+``stft_pallas`` where the extra margin matters.
 """
 
 from __future__ import annotations
@@ -137,7 +141,7 @@ def _stft_pallas_padded(
     shift: int,
     tile_frames: int,
     interpret: bool,
-    double_buffer: bool = True,
+    double_buffer: bool = False,
 ) -> jnp.ndarray:
     """signal: [B, samples] already fade/frame padded → [B, F, 2*bins]."""
     b, samples = signal.shape
@@ -154,7 +158,6 @@ def _stft_pallas_padded(
     k = size // shift
     if double_buffer:
         kernel = _make_kernel_db(tile_frames, size, shift, bins2)
-        n_slots = 2
     else:
         kernel, _ = _make_kernel(tile_frames, size, shift, bins2)
     signal = signal.reshape(b, needed // shift, shift)  # shift-rows for 2-D DMA
@@ -198,7 +201,7 @@ def stft_pallas(
     *,
     fading: bool = True,
     tile_frames: int = 128,
-    double_buffer: bool = True,
+    double_buffer: bool = False,
 ) -> jnp.ndarray:
     """Batched complex STFT via the fused kernel. ``signal``: [B, samples]."""
     if signal.ndim == 1:
