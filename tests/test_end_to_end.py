@@ -101,3 +101,17 @@ def test_fit_separate_evaluate(fixture_root, tmp_path):
     assert np.isfinite(si)
     # 3 epochs of a tiny model on 4 utterances: just assert sane range
     assert -30 < si < 30
+
+
+def test_committed_artifacts_beat_reference(reference_root):
+    """Regression pin: the separated wavs committed under artifacts/ (produced
+    by scripts/fixture_quality_run.py on TPU) score far above the reference's
+    committed artifacts on the same evaluator."""
+    import pathlib
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "fixture_separated"
+    if not art.exists():
+        pytest.skip("artifacts not present")
+    wav_dir = reference_root / "mycode" / "wsj0_2mix" / "use_this"
+    si = eval_si_sdr(wav_dir, art)
+    assert si > 11.0  # measured 11.51 dB; reference artifacts: −4.22 dB
