@@ -38,7 +38,7 @@ def main():
     rng = jax.random.key(42)
     params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
     state = train.TrainState.create(
-        model.apply, params, train.exponential_decay_adam(), rng
+        model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
     )
     train_step, eval_step = train.make_upit_waveform_steps(model)
     args = (

@@ -21,6 +21,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable
 
+import jax
 import numpy as np
 
 from ..data.datasets import prefetch_to_device
@@ -102,7 +103,9 @@ def fit(
         if val_loss < result.best_val_loss:
             result.best_val_loss = val_loss
             result.best_epoch = epoch
-            best_state = state
+            # device_get: later train steps donate `state`'s buffers, so an
+            # alias would dangle — snapshot the best state to host memory
+            best_state = jax.device_get(state)
             since_best = 0
             if checkpoints is not None:
                 checkpoints.save_if_best(epoch, state, val_loss)
