@@ -114,4 +114,4 @@ def test_committed_artifacts_beat_reference(reference_root):
         pytest.skip("artifacts not present")
     wav_dir = reference_root / "mycode" / "wsj0_2mix" / "use_this"
     si = eval_si_sdr(wav_dir, art)
-    assert si > 11.0  # measured 11.51 dB; reference artifacts: −4.22 dB
+    assert si > 12.5  # measured 13.16 dB; reference artifacts: −4.22 dB
