@@ -127,6 +127,13 @@ def _resolve_type(tp):
 
 
 def _from_dict(cls, payload: dict[str, Any]):
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(payload) - known
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} config keys: {sorted(unknown)} "
+            f"(valid: {sorted(known)})"
+        )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in payload:

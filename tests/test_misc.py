@@ -107,3 +107,12 @@ def test_bench_script_is_well_formed():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    from speech_separation_tpu.utils import UPitTrainConfig, load_config
+
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps({"hiden": 3}))  # typo
+    with pytest.raises(ValueError, match="unknown UPitTrainConfig config keys"):
+        load_config(UPitTrainConfig, path)
