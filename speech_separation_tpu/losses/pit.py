@@ -27,7 +27,7 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["pit_loss", "pairwise_pit_costs"]
+__all__ = ["pit_loss", "pairwise_pit_costs", "pit_si_sdr_loss"]
 
 
 def _split_speakers(x: jnp.ndarray, num_speakers: int) -> jnp.ndarray:
@@ -90,3 +90,41 @@ def pit_loss(
 
 def num_permutations(num_speakers: int) -> int:
     return math.factorial(num_speakers)
+
+
+def pit_si_sdr_loss(
+    est: jnp.ndarray,
+    refs: jnp.ndarray,
+    sample_lengths: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Negative permutation-best mean SI-SDR over waveforms (time-domain PIT).
+
+    ``est`` / ``refs``: ``[B, S, samples]``; ``sample_lengths``: ``[B]``.
+    Samples beyond the valid length are masked out of the projection. This is
+    the modern time-domain separation objective (e.g. Conv-TasNet) — the
+    reference's uPIT uses squared error; this shares its permutation-search
+    machinery but scores in dB.
+    """
+    b, s, t = est.shape
+    mask = (jnp.arange(t)[None, None, :] < sample_lengths[:, None, None]).astype(est.dtype)
+    est = est * mask
+    refs = refs * mask
+    # pairwise SI-SDR [B, S_est, S_ref]; the noise term is computed by
+    # explicit subtraction — the algebraic ‖e‖² − 2α·<e,r> + ‖αr‖² shortcut
+    # cancels catastrophically in fp32 when est ≈ ref
+    dot = jnp.einsum("bet,brt->ber", est, refs)
+    ref_energy = jnp.sum(jnp.square(refs), axis=-1)[:, None, :]  # [B, 1, S_ref]
+    scale = dot / (ref_energy + eps)
+    target_energy = jnp.square(scale) * ref_energy  # ‖α·r‖²
+    noise = est[:, :, None, :] - scale[..., None] * refs[:, None, :, :]
+    noise_energy = jnp.sum(jnp.square(noise), axis=-1)  # [B, S_est, S_ref]
+    ratio = target_energy / (noise_energy + eps)
+    pair_si_sdr = 10.0 * jnp.log10(ratio + eps)  # [B, S_est, S_ref]
+
+    perms = list(itertools.permutations(range(s)))
+    idx = jnp.arange(s)
+    per_perm = jnp.stack(
+        [pair_si_sdr[:, idx, jnp.asarray(p)].mean(axis=-1) for p in perms], axis=1
+    )
+    return -jnp.mean(jnp.max(per_perm, axis=1))

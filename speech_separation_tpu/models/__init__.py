@@ -1,4 +1,5 @@
 from .blstm import BiLSTM, LSTM
+from .tasnet import ConvTasNet
 from .upit import UPitBlstm, UPitConv
 from .vq import GumbelSoftmax, VectorQuantizer, gumbel_softmax, nearest_code_indices
 from .vqvae import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
@@ -8,6 +9,7 @@ __all__ = [
     "BiLSTM",
     "UPitBlstm",
     "UPitConv",
+    "ConvTasNet",
     "GumbelSoftmax",
     "VectorQuantizer",
     "gumbel_softmax",

@@ -1,0 +1,131 @@
+"""Conv-TasNet-style fully-convolutional separator (beyond-parity model).
+
+The reference stops at a TasNet *precursor* — conv front-end + BLSTM masks
+(`Raw_with_Convlayer.ipynb cell 13`). This module adds the full
+convolutional time-domain separation network in the style of Luo &
+Mesgarani's Conv-TasNet (arXiv:1809.07454): learned encoder/decoder
+filterbanks and a dilated temporal convolutional mask network. Everything is
+convolutions and 1×1 matmuls — an ideal MXU workload with no recurrence, so
+it both separates better and runs faster than the BLSTM on TPU.
+
+Structure:
+
+- encoder: Conv1D(``enc_dim``, kernel ``win``, stride ``win/2``, ReLU);
+- separator: channel LayerNorm → 1×1 bottleneck → ``repeats`` × ``blocks``
+  dilated depthwise-separable conv blocks (1×1 expand → PReLU+norm →
+  depthwise dilated conv → PReLU+norm → 1×1 back, residual + skip);
+- masks: PReLU over summed skips → 1×1 to ``num_speakers × enc_dim`` →
+  sigmoid → mask × encoder features;
+- decoder: ConvTranspose back to waveform, one per masked copy.
+
+Trained with negative SI-SDR under permutation-invariant assignment
+(``losses.pit_si_sdr_loss``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["ConvTasNet"]
+
+
+class _GlobalLayerNorm(nn.Module):
+    """gLN: normalise over (time, channels) with learned per-channel affine."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + 1e-8) + beta
+
+
+class _PReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class _TCNBlock(nn.Module):
+    hidden: int
+    bottleneck: int
+    kernel: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        y = nn.Conv(self.hidden, (1,), name="expand")(x)
+        y = _PReLU(name="prelu1")(y)
+        y = _GlobalLayerNorm(name="norm1")(y)
+        y = nn.Conv(
+            self.hidden,
+            (self.kernel,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.hidden,
+            padding="SAME",
+            name="depthwise",
+        )(y)
+        y = _PReLU(name="prelu2")(y)
+        y = _GlobalLayerNorm(name="norm2")(y)
+        residual = nn.Conv(self.bottleneck, (1,), name="res_out")(y)
+        skip = nn.Conv(self.bottleneck, (1,), name="skip_out")(y)
+        return x + residual, skip
+
+
+class ConvTasNet(nn.Module):
+    num_speakers: int = 2
+    enc_dim: int = 256
+    win: int = 16  # encoder kernel (samples); stride = win // 2
+    bottleneck: int = 128
+    hidden: int = 256
+    kernel: int = 3
+    blocks: int = 7  # dilations 1, 2, 4, ... 2^(blocks-1)
+    repeats: int = 3
+
+    @nn.compact
+    def __call__(self, mix: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        """``mix``: [B, samples] (padded to a multiple of win//2) → [B, S, samples]."""
+        del deterministic
+        stride = self.win // 2
+        b, samples = mix.shape
+        assert samples % stride == 0, "pad waveforms to a multiple of win//2"
+
+        feats = nn.relu(
+            nn.Conv(self.enc_dim, (self.win,), strides=(stride,), padding="SAME", name="encoder")(
+                mix[..., None]
+            )
+        )  # [B, K, N]
+
+        h = _GlobalLayerNorm(name="input_norm")(feats)
+        h = nn.Conv(self.bottleneck, (1,), name="input_proj")(h)
+        skip_sum = jnp.zeros_like(h)
+        for r in range(self.repeats):
+            for x in range(self.blocks):
+                h, skip = _TCNBlock(
+                    self.hidden,
+                    self.bottleneck,
+                    self.kernel,
+                    2**x,
+                    name=f"tcn_{r}_{x}",
+                )(h)
+                skip_sum = skip_sum + skip
+
+        m = _PReLU(name="mask_prelu")(skip_sum)
+        masks = nn.sigmoid(
+            nn.Conv(self.num_speakers * self.enc_dim, (1,), name="mask_proj")(m)
+        )  # [B, K, S*N]
+        k = feats.shape[1]
+        masks = masks.reshape(b, k, self.num_speakers, self.enc_dim)
+        masked = masks * feats[:, :, None, :]  # [B, K, S, N]
+
+        # decode each speaker with a shared transposed filterbank
+        masked = masked.transpose(0, 2, 1, 3).reshape(b * self.num_speakers, k, self.enc_dim)
+        wav = nn.ConvTranspose(
+            1, (self.win,), strides=(stride,), padding="SAME", name="decoder"
+        )(masked)[..., 0]
+        wav = wav.reshape(b, self.num_speakers, -1)
+        return wav[:, :, :samples]

@@ -3,6 +3,7 @@ from .loop import FitResult, fit
 from .optim import adam, exponential_decay_adam, nadam
 from .state import TrainState
 from .steps import (
+    make_time_domain_steps,
     make_upit_raw_steps,
     make_upit_spectrogram_steps,
     make_upit_waveform_steps,
@@ -17,6 +18,7 @@ __all__ = [
     "exponential_decay_adam",
     "nadam",
     "TrainState",
+    "make_time_domain_steps",
     "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_upit_waveform_steps",

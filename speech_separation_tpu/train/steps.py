@@ -18,7 +18,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..losses.pit import pit_loss
+from ..losses.pit import pit_loss, pit_si_sdr_loss
 from ..losses.sisdr import summed_squared_error
 from ..ops.features import psm_features
 
@@ -27,6 +27,7 @@ __all__ = [
     "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_vae_steps",
+    "make_time_domain_steps",
 ]
 
 
@@ -128,6 +129,32 @@ def make_upit_spectrogram_steps(model, num_speakers: int = 2, donate_state: bool
     @jax.jit
     def eval_step(state, magnitude, labels, lengths):
         return _loss(state.params, magnitude, labels, lengths, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_time_domain_steps(model, donate_state: bool = True):
+    """Steps for wave-in/wave-out separators (ConvTasNet): negative
+    permutation-best SI-SDR objective over (mix, sources, sample_lengths)."""
+
+    def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
+        kwargs = dict(deterministic=deterministic)
+        if not deterministic and dropout_rng is not None:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        est = model.apply({"params": params}, mix, **kwargs)
+        return pit_si_sdr_loss(est, sources, sample_lengths)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, mix, sources, sample_lengths):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, mix, sources, sample_lengths, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, mix, sources, sample_lengths):
+        return _loss(state.params, mix, sources, sample_lengths, None, True)
 
     return train_step, eval_step
 

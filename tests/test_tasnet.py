@@ -1,0 +1,79 @@
+"""Conv-TasNet separator and time-domain SI-SDR PIT loss tests."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_separation_tpu import train
+from speech_separation_tpu.losses import pit_si_sdr_loss
+from speech_separation_tpu.metrics import si_sdr_np
+from speech_separation_tpu.models import ConvTasNet
+
+RNG = np.random.default_rng(0)
+
+TINY = dict(enc_dim=32, bottleneck=16, hidden=32, blocks=3, repeats=1)
+
+
+def test_pit_si_sdr_matches_scalar_formula():
+    b, s, t = 2, 2, 2000
+    refs = RNG.standard_normal((b, s, t)).astype(np.float32)
+    est = refs + 0.1 * RNG.standard_normal((b, s, t)).astype(np.float32)
+    lengths = np.array([2000, 1500], np.int32)
+    got = float(
+        pit_si_sdr_loss(jnp.asarray(est), jnp.asarray(refs), jnp.asarray(lengths))
+    )
+    # brute force with the host formula
+    total = 0.0
+    for i in range(b):
+        n = lengths[i]
+        best = -np.inf
+        for perm in itertools.permutations(range(s)):
+            score = np.mean(
+                [si_sdr_np(refs[i, p, :n], est[i, j, :n]) for j, p in enumerate(perm)]
+            )
+            best = max(best, score)
+        total += best
+    np.testing.assert_allclose(got, -total / b, rtol=1e-3)
+
+
+def test_pit_si_sdr_permutation_invariance():
+    refs = RNG.standard_normal((1, 2, 1000)).astype(np.float32)
+    est = refs[:, ::-1].copy()  # swapped but perfect
+    lengths = jnp.asarray([1000])
+    loss = float(pit_si_sdr_loss(jnp.asarray(est), jnp.asarray(refs), lengths))
+    assert loss < -60  # ≈ perfect reconstruction in dB
+
+
+def test_conv_tasnet_shapes():
+    model = ConvTasNet(**TINY)
+    mix = jnp.zeros((2, 4000))
+    params = model.init(jax.random.key(0), mix)
+    out = model.apply(params, mix)
+    assert out.shape == (2, 2, 4000)
+
+
+def test_conv_tasnet_trains():
+    model = ConvTasNet(**TINY)
+    gen = np.random.default_rng(1)
+    # two separable synthetic sources: disjoint frequency bands
+    t = np.arange(4000) / 8000.0
+    s1 = np.sin(2 * np.pi * 200 * t)[None] * 0.3
+    s2 = np.sin(2 * np.pi * 1500 * t)[None] * 0.3
+    sources = jnp.asarray(np.stack([s1, s2], axis=1), jnp.float32)  # [1, 2, T]
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([4000])
+
+    rng = jax.random.key(0)
+    params = model.init(rng, mix)["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    train_step, eval_step = train.make_time_domain_steps(model)
+    first = float(eval_step(state, mix, sources, lengths))
+    for _ in range(40):
+        state, loss = train_step(state, mix, sources, lengths)
+    last = float(eval_step(state, mix, sources, lengths))
+    # loss is negative SI-SDR (dB): must improve markedly on separable tones
+    assert last < first - 3.0
