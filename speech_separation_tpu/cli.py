@@ -21,14 +21,27 @@ import pathlib
 import numpy as np
 
 
-def _build_upit_model(variant: str, hidden: int, num_layers: int, num_speakers: int):
-    from .models import UPitBlstm, UPitConv
+def _build_upit_model_from_cfg(cfg):
+    from .models import ConvTasNet, UPitBlstm, UPitConv
 
-    if variant == "blstm":
-        return UPitBlstm(hidden=hidden, num_layers=num_layers, num_speakers=num_speakers)
-    if variant == "conv":
-        return UPitConv(hidden=hidden, num_layers=num_layers, num_speakers=num_speakers)
-    raise SystemExit(f"unknown uPIT variant {variant!r}")
+    if cfg.variant == "blstm":
+        return UPitBlstm(
+            hidden=cfg.hidden, num_layers=cfg.num_layers, num_speakers=cfg.num_speakers
+        )
+    if cfg.variant == "conv":
+        return UPitConv(
+            hidden=cfg.hidden, num_layers=cfg.num_layers, num_speakers=cfg.num_speakers
+        )
+    if cfg.variant == "tasnet":
+        return ConvTasNet(
+            num_speakers=cfg.num_speakers,
+            enc_dim=cfg.tasnet_enc_dim,
+            bottleneck=cfg.tasnet_bottleneck,
+            hidden=cfg.tasnet_hidden,
+            blocks=cfg.tasnet_blocks,
+            repeats=cfg.tasnet_repeats,
+        )
+    raise SystemExit(f"unknown separator variant {cfg.variant!r}")
 
 
 def _build_vae_model(variant: str, cfg):
@@ -89,11 +102,14 @@ def cmd_train(args) -> None:
             ),
         )
         rng = jax.random.key(cfg.seed)
-        model = _build_upit_model(cfg.variant, cfg.hidden, cfg.num_layers, cfg.num_speakers)
-        feat_dim = 129 if cfg.variant == "blstm" else cfg.frame_size
-        params = model.init(rng, jnp.zeros((1, 8, feat_dim)))["params"]
-        tx = train.exponential_decay_adam(
-            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+        model = _build_upit_model_from_cfg(cfg)
+        params = model.init(rng, _example_input(cfg))["params"]
+        tx = (
+            train.adam(cfg.learning_rate)
+            if cfg.variant == "tasnet"
+            else train.exponential_decay_adam(
+                cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+            )
         )
         state = train.TrainState.create(model.apply, params, tx, rng)
 
@@ -111,6 +127,16 @@ def cmd_train(args) -> None:
                     jnp.asarray(b.mix),
                     jnp.asarray(b.sources),
                     jnp.asarray(b.frame_lengths),
+                )
+
+        elif cfg.variant == "tasnet":
+            train_step, eval_step = train.make_time_domain_steps(model)
+
+            def batch_arrays(b):
+                return (
+                    jnp.asarray(b.mix),
+                    jnp.asarray(b.sources),
+                    jnp.asarray(b.sample_lengths),
                 )
 
         else:
@@ -240,19 +266,33 @@ def cmd_train(args) -> None:
     raise SystemExit(f"unknown workload {args.workload!r}")
 
 
+def _example_input(cfg):
+    import jax.numpy as jnp
+
+    if cfg.variant == "blstm":
+        return jnp.zeros((1, 8, 129))
+    if cfg.variant == "tasnet":
+        return jnp.zeros((1, 1024))
+    return jnp.zeros((1, 8, cfg.frame_size))
+
+
 def _restore_upit(checkpoint_dir: str):
     import jax
-    import jax.numpy as jnp
 
     from . import train
     from .utils import UPitTrainConfig, load_config
 
     cfg = load_config(UPitTrainConfig, pathlib.Path(checkpoint_dir) / "train_config.json")
-    model = _build_upit_model(cfg.variant, cfg.hidden, cfg.num_layers, cfg.num_speakers)
-    feat_dim = 129 if cfg.variant == "blstm" else cfg.frame_size
+    model = _build_upit_model_from_cfg(cfg)
     rng = jax.random.key(cfg.seed)
-    params = model.init(rng, jnp.zeros((1, 8, feat_dim)))["params"]
-    tx = train.exponential_decay_adam(cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate)
+    params = model.init(rng, _example_input(cfg))["params"]
+    tx = (
+        train.adam(cfg.learning_rate)
+        if cfg.variant == "tasnet"
+        else train.exponential_decay_adam(
+            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+        )
+    )
     state = train.TrainState.create(model.apply, params, tx, rng)
     ckpt = train.CheckpointManager(checkpoint_dir)
     state = ckpt.restore(state)
@@ -264,6 +304,9 @@ def cmd_separate(args) -> None:
     from .separate import separate_directory
 
     cfg, model, state = _restore_upit(args.checkpoint_dir)
+    if cfg.variant == "tasnet":
+        _separate_time_domain(cfg, model, state, args)
+        return
     written = separate_directory(
         model,
         state.params,
@@ -276,6 +319,42 @@ def cmd_separate(args) -> None:
         sample_rate=cfg.stft.sample_rate,
     )
     print(json.dumps({"written": len(written), "out_dir": str(args.out_dir)}))
+
+
+def _separate_time_domain(cfg, model, state, args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .data import WaveformLoader, audiowrite, wait_for_pending_writes
+
+    out_dir = pathlib.Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    loader = WaveformLoader(
+        pathlib.Path(args.data_root or cfg.data_root) / args.split,
+        batch_size=args.batch_size or cfg.batch_size,
+        sample_rate=cfg.stft.sample_rate,
+        num_speakers=cfg.num_speakers,
+    )
+    separate = jax.jit(lambda p, m: model.apply({"params": p}, m))
+    written = 0
+    for b in loader:
+        import numpy as _np
+
+        est = _np.asarray(separate(state.params, jnp.asarray(b.mix)))
+        for i, name in enumerate(b.names):
+            stem = pathlib.Path(name).stem
+            n = int(b.sample_lengths[i])
+            for s in range(cfg.num_speakers):
+                audiowrite(
+                    est[i, s, :n],
+                    out_dir / f"{stem}_s{s + 1}.wav",
+                    cfg.stft.sample_rate,
+                    normalize=True,
+                    threaded=True,
+                )
+                written += 1
+    wait_for_pending_writes()
+    print(json.dumps({"written": written, "out_dir": str(out_dir)}))
 
 
 def cmd_evaluate(args) -> None:

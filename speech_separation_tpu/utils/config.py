@@ -59,6 +59,11 @@ class UPitTrainConfig:
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
     frame_size: int = 40  # conv variant
+    tasnet_enc_dim: int = 256  # tasnet variant
+    tasnet_bottleneck: int = 128
+    tasnet_hidden: int = 256
+    tasnet_blocks: int = 7
+    tasnet_repeats: int = 3
     checkpoint_dir: str = "./CKPT"
     seed: int = 42
     stft: StftConfig = field(default_factory=StftConfig)

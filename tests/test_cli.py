@@ -146,3 +146,42 @@ def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):
         ],
     )
     assert recon_path.exists()
+
+
+def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
+    ckpt_dir = tmp_path / "tasnet_ckpt"
+    cfg_path = tmp_path / "tasnet_cfg.json"
+    cfg_path.write_text(json.dumps({"patience": 5, "seed": 0, "tasnet_enc_dim": 32, "tasnet_bottleneck": 16, "tasnet_hidden": 32, "tasnet_blocks": 3, "tasnet_repeats": 1}))
+    out = _run(
+        capsys,
+        [
+            "train",
+            "--config",
+            str(cfg_path),
+            "--workload",
+            "upit",
+            "--variant",
+            "tasnet",
+            "--data-root",
+            str(fixture_root),
+            "--epochs",
+            "1",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+        ],
+    )
+    assert np.isfinite(json.loads(out[-1])["best_val_loss"])
+    sep_dir = tmp_path / "tasnet_sep"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(sep_dir),
+        ],
+    )
+    assert json.loads(out[-1])["written"] == 8
