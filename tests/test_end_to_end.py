@@ -115,3 +115,13 @@ def test_committed_artifacts_beat_reference(reference_root):
     wav_dir = reference_root / "mycode" / "wsj0_2mix" / "use_this"
     si = eval_si_sdr(wav_dir, art)
     assert si > 12.5  # measured 13.16 dB; reference artifacts: −4.22 dB
+
+
+def test_committed_tasnet_artifacts(reference_root):
+    import pathlib
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "tasnet_separated"
+    if not art.exists():
+        pytest.skip("artifacts not present")
+    si = eval_si_sdr(reference_root / "mycode" / "wsj0_2mix" / "use_this", art)
+    assert si > 33.0  # measured 35.41 dB
