@@ -116,3 +116,15 @@ def test_config_rejects_unknown_keys(tmp_path):
     path.write_text(json.dumps({"hiden": 3}))  # typo
     with pytest.raises(ValueError, match="unknown UPitTrainConfig config keys"):
         load_config(UPitTrainConfig, path)
+
+
+def test_plot_history_writes_png(tmp_path):
+    from speech_separation_tpu.utils.plots import plot_history, plot_metrics_file
+
+    out = plot_history({"loss": [3.0, 2.0, 1.0], "val_loss": [3.5, 2.5, 2.0]}, tmp_path / "c.png")
+    assert out.exists() and out.stat().st_size > 1000
+
+    jsonl = tmp_path / "m.jsonl"
+    jsonl.write_text('{"step": 1, "loss": 2.0}\n{"step": 2, "loss": 1.0}\n')
+    out2 = plot_metrics_file(jsonl, tmp_path / "m.png")
+    assert out2.exists()
