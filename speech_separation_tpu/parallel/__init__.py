@@ -2,6 +2,7 @@ from .mesh import initialize_distributed, make_mesh
 from .sequence import sharded_istft, sharded_stft
 from .sharding import (
     batch_sharding,
+    pad_batch_for_mesh,
     param_pspec,
     replicated,
     shard_batch,
@@ -15,6 +16,7 @@ __all__ = [
     "sharded_stft",
     "sharded_istft",
     "batch_sharding",
+    "pad_batch_for_mesh",
     "param_pspec",
     "replicated",
     "shard_batch",

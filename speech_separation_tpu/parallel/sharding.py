@@ -115,6 +115,38 @@ def _mirror_param_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(arrays: tuple, mesh: Mesh) -> tuple:
-    """Shard each array's leading (batch) axis over the ``data`` mesh axis."""
+    """Shard each array's leading (batch) axis over the ``data`` mesh axis.
+
+    The leading dimension must divide by the ``data`` axis size — use
+    :func:`pad_batch_for_mesh` first for ragged final batches.
+    """
+    n = mesh.shape["data"]
+    for a in arrays:
+        if a.shape[0] % n:
+            raise ValueError(
+                f"batch dim {a.shape[0]} not divisible by data axis size {n}; "
+                f"pad with pad_batch_for_mesh first"
+            )
     sharding = batch_sharding(mesh)
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def pad_batch_for_mesh(arrays: tuple, mesh: Mesh) -> tuple[tuple, int]:
+    """Zero-pad leading dims up to a multiple of the ``data`` axis size.
+
+    Returns ``(padded_arrays, original_batch)``; padded rows are zeros, which
+    the masked losses score as zero-length contributions the caller can
+    correct for (or simply slice outputs back to ``original_batch``).
+    """
+    import numpy as np
+
+    n = mesh.shape["data"]
+    b = arrays[0].shape[0]
+    target = -(-b // n) * n
+    if target == b:
+        return arrays, b
+    padded = tuple(
+        np.concatenate([np.asarray(a), np.zeros((target - b, *a.shape[1:]), a.dtype)])
+        for a in arrays
+    )
+    return padded, b

@@ -88,3 +88,14 @@ def test_eval_step_sharded_runs():
     sharded_state = parallel.shard_state(state, mesh, tensor_parallel=False)
     loss = eval_step(sharded_state, *args)
     assert np.isfinite(float(loss))
+
+
+def test_pad_batch_for_mesh_and_divisibility_guard():
+    mesh = parallel.make_mesh(data=4, model=2)
+    arrays = (np.zeros((6, 3), np.float32), np.zeros((6,), np.int32))
+    with pytest.raises(ValueError, match="not divisible"):
+        parallel.shard_batch(tuple(jnp.asarray(a) for a in arrays), mesh)
+    padded, orig = parallel.pad_batch_for_mesh(arrays, mesh)
+    assert orig == 6 and padded[0].shape[0] == 8
+    sharded = parallel.shard_batch(tuple(jnp.asarray(a) for a in padded), mesh)
+    assert sharded[0].shape[0] == 8
