@@ -92,12 +92,23 @@ class WaveformLoader:
     shuffle: bool = False
     seed: int = 0
     drop_remainder: bool = False
+    sort_by_length: bool = False
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         self.split_dir = pathlib.Path(self.split_dir)
         if not self.names:
             self.names = utterance_names(self.split_dir)
+        if self.sort_by_length:
+            # order utterances by duration (wav headers only — no decode) so
+            # batches group similar lengths: far less padding waste than the
+            # reference's pad-to-split-max, fewer distinct bucket shapes
+            from .audio_io import wav_duration_samples
+
+            durations = [
+                wav_duration_samples(self.split_dir / "mix" / n)[0] for n in self.names
+            ]
+            self.names = [n for _, n in sorted(zip(durations, self.names))]
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -137,8 +148,18 @@ class WaveformLoader:
     def __iter__(self) -> Iterator[WaveformBatch]:
         order = np.arange(len(self.names))
         if self.shuffle:
-            order = np.random.default_rng(self.seed + self._epoch).permutation(order)
+            rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
+            if self.sort_by_length:
+                # preserve the length grouping: shuffle whole batches, not rows
+                groups = [
+                    order[s : s + self.batch_size]
+                    for s in range(0, len(order), self.batch_size)
+                ]
+                rng.shuffle(groups)
+                order = np.concatenate(groups)
+            else:
+                order = rng.permutation(order)
         quantum = max(1, int(self.pad_quantum_seconds * self.sample_rate))
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]

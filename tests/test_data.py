@@ -201,3 +201,17 @@ def test_reads_reference_raw_records(reference_root):
     # mixture ≈ s1 + s2
     corr = np.corrcoef(inputs[:, 0], labels.sum(axis=1))[0, 1]
     assert corr > 0.9
+
+
+def test_waveform_loader_sort_by_length(fixture_root):
+    loader = data.WaveformLoader(fixture_root / "tt", batch_size=2, sort_by_length=True)
+    lengths = []
+    for b in loader:
+        lengths.extend(b.sample_lengths.tolist())
+    assert lengths == sorted(lengths)
+    # shuffled variant keeps batches length-homogeneous (batch max == batch min bucket)
+    sh = data.WaveformLoader(
+        fixture_root / "tt", batch_size=2, sort_by_length=True, shuffle=True, seed=1
+    )
+    all_names = [n for b in sh for n in b.names]
+    assert sorted(all_names) == sorted(loader.names)

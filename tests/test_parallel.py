@@ -99,3 +99,27 @@ def test_pad_batch_for_mesh_and_divisibility_guard():
     assert orig == 6 and padded[0].shape[0] == 8
     sharded = parallel.shard_batch(tuple(jnp.asarray(a) for a in padded), mesh)
     assert sharded[0].shape[0] == 8
+
+
+def test_tasnet_tp_sharded_step_matches_single_device():
+    from speech_separation_tpu.models import ConvTasNet
+
+    model = ConvTasNet(enc_dim=32, bottleneck=16, hidden=32, blocks=2, repeats=1)
+    rng = jax.random.key(0)
+    gen = np.random.default_rng(0)
+    sources = jnp.asarray(gen.standard_normal((8, 2, 4000)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    lengths = jnp.full((8,), 4000, jnp.int32)
+
+    params = model.init(rng, mix)["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    train_step, _ = train.make_time_domain_steps(model, donate_state=False)
+    ref_state, ref_loss = train_step(state, mix, sources, lengths)
+
+    mesh = parallel.make_mesh(data=4, model=2)
+    sharded = parallel.shard_state(state, mesh, tensor_parallel=True)
+    args = parallel.shard_batch((mix, sources, lengths), mesh)
+    new_state, loss = train_step(sharded, *args)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    for r, g in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)
