@@ -47,7 +47,7 @@ class UPitTrainConfig:
     data_root: str = "./mycode/wsj0_2mix/use_this"
     train_split: str = "tr"
     val_split: str = "cv"
-    variant: str = "blstm"  # "blstm" (spectral) or "conv" (raw frames)
+    variant: str = "blstm"  # "blstm" (spectral) / "conv" (raw frames) / "tasnet" (time domain)
     batch_size: int = 2
     epochs: int = 5
     patience: int = 50

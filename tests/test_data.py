@@ -215,3 +215,28 @@ def test_waveform_loader_sort_by_length(fixture_root):
     )
     all_names = [n for b in sh for n in b.names]
     assert sorted(all_names) == sorted(loader.names)
+
+
+def test_tfrecord_codec_fuzz_roundtrip():
+    """Random feature dicts survive encode→decode byte-exactly."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        feats = {}
+        for k in range(rng.integers(1, 4)):
+            name = f"f{k}"
+            if rng.random() < 0.3:
+                feats[name] = [bytes(rng.integers(0, 256, rng.integers(0, 50), dtype=np.uint8))]
+            else:
+                feats[name] = [
+                    rng.standard_normal(rng.integers(1, 40)).astype(np.float32)
+                    for _ in range(rng.integers(1, 5))
+                ]
+        payload = data.build_sequence_example(feats)
+        parsed = data.parse_sequence_example(payload)
+        assert set(parsed) == set(feats)
+        for name, steps in feats.items():
+            for a, b in zip(steps, parsed[name]):
+                if isinstance(a, bytes):
+                    assert a == b
+                else:
+                    np.testing.assert_array_equal(a, b)
