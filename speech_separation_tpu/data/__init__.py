@@ -10,6 +10,7 @@ from .datasets import (
 )
 from .features import FeatureConfig, generate_librimix, generate_split, max_length, utterance_names
 from .fixture import make_synthetic_fixture
+from .speaker_info import load_speaker_genders, mixture_genders
 from .tfrecord import (
     build_sequence_example,
     parse_sequence_example,
@@ -40,4 +41,6 @@ __all__ = [
     "read_tfrecord_file",
     "write_tfrecord_file",
     "make_synthetic_fixture",
+    "load_speaker_genders",
+    "mixture_genders",
 ]

@@ -18,7 +18,7 @@ from ..data.audio_io import read_wav
 from ..metrics.bss_eval import bss_eval_sources
 from ..metrics.sisdr import permute_si_sdr
 
-__all__ = ["eval_si_sdr", "eval_sdr", "score_pair"]
+__all__ = ["eval_si_sdr", "eval_si_sdri", "eval_sdr", "score_pair"]
 
 
 def _load_pairs(wav_dir: pathlib.Path, est_dir: pathlib.Path, split: str = "tt"):
@@ -42,6 +42,26 @@ def eval_si_sdr(
         for _, refs, ests in _load_pairs(pathlib.Path(wav_dir), pathlib.Path(est_dir), split)
     ]
     return float(np.mean(scores))
+
+
+def eval_si_sdri(
+    wav_dir: str | pathlib.Path, est_dir: str | pathlib.Path, split: str = "tt"
+) -> float:
+    """Mean SI-SDR *improvement* over the unprocessed mixture (dB).
+
+    The headline separation metric (SI-SNRi in the literature; BASELINE.json's
+    north-star): permutation-best SI-SDR of the estimates minus the mean
+    SI-SDR of the mixture itself against each reference.
+    """
+    wav_dir = pathlib.Path(wav_dir)
+    improvements = []
+    for name, refs, ests in _load_pairs(wav_dir, pathlib.Path(est_dir), split):
+        mix, _ = read_wav(wav_dir / split / "mix" / name)
+        n = refs[0].size
+        mix = mix[:n]
+        baseline = np.mean([permute_si_sdr(refs, (mix, mix))])
+        improvements.append(permute_si_sdr(refs, ests) - baseline)
+    return float(np.mean(improvements))
 
 
 def eval_sdr(

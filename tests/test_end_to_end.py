@@ -125,3 +125,18 @@ def test_committed_tasnet_artifacts(reference_root):
         pytest.skip("artifacts not present")
     si = eval_si_sdr(reference_root / "mycode" / "wsj0_2mix" / "use_this", art)
     assert si > 33.0  # measured 35.41 dB
+
+
+def test_si_sdri_on_artifacts(reference_root):
+    import pathlib
+
+    from speech_separation_tpu.evaluate import eval_si_sdri
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "fixture_separated"
+    if not art.exists():
+        pytest.skip("artifacts not present")
+    wav_dir = reference_root / "mycode" / "wsj0_2mix" / "use_this"
+    improvement = eval_si_sdri(wav_dir, art)
+    assert improvement > 12.5  # measured 13.12 dB SI-SDRi
+    # the reference's committed artifacts degrade the mixture
+    assert eval_si_sdri(wav_dir, reference_root / "test_wav") < 0
