@@ -307,6 +307,8 @@ def cmd_separate(args) -> None:
     if cfg.variant == "tasnet":
         _separate_time_domain(cfg, model, state, args)
         return
+    import jax.numpy as jnp
+
     written = separate_directory(
         model,
         state.params,
@@ -317,6 +319,7 @@ def cmd_separate(args) -> None:
         num_speakers=cfg.num_speakers,
         batch_size=args.batch_size or cfg.batch_size,
         sample_rate=cfg.stft.sample_rate,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     print(json.dumps({"written": len(written), "out_dir": str(args.out_dir)}))
 
@@ -485,6 +488,7 @@ def main(argv=None) -> None:
     p.add_argument("--split", default="tt")
     p.add_argument("--out-dir", default="./test_wav")
     p.add_argument("--batch-size", type=int)
+    p.add_argument("--bf16", action="store_true", help="bf16 mask network (serving precision)")
     p.set_defaults(func=cmd_separate)
 
     p = sub.add_parser("evaluate", help="score separated wavs (SI-SDR, BSS SDR)")

@@ -164,6 +164,7 @@ def separate_directory(
     sample_rate: int = 8000,
     normalize: bool = True,
     threaded_writes: bool = True,
+    compute_dtype=None,
 ) -> list[pathlib.Path]:
     """Separate every mixture in ``split_dir/mix`` → ``out_dir/{name}_s{i}.wav``.
 
@@ -181,7 +182,9 @@ def separate_directory(
         stft_shift=shift,
         num_speakers=num_speakers,
     )
-    separate = make_separate_fn(model, size, shift, num_speakers)
+    separate = make_separate_fn(
+        model, size, shift, num_speakers, compute_dtype=compute_dtype
+    )
     written: list[pathlib.Path] = []
     for batch in prefetch_to_device(iter(loader)):
         wavs = np.asarray(
