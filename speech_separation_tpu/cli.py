@@ -383,7 +383,17 @@ def cmd_codec_encode(args) -> None:
 
 
 def _stack_frames(wav: np.ndarray, variant: str, frame_size: int = 40) -> np.ndarray:
-    """[samples] → [1, K, L] with K aligned to the variant's stride depth."""
+    """Shape a waveform for the codec's input layout.
+
+    gumbel (sample-level): ``[1, T, 1]`` with T padded to a multiple of 32
+    (five stride-2 encoder levels); stacked variants: ``[1, K, L]`` with K
+    aligned to the variant's stride depth.
+    """
+    if variant == "gumbel":
+        t = ((len(wav) + 31) // 32) * 32
+        out = np.zeros((1, t, 1), np.float32)
+        out[0, : len(wav), 0] = wav
+        return out
     alignment = 8 if variant == "t3" else 4
     k = -(-len(wav) // frame_size)
     k = ((k + alignment - 1) // alignment) * alignment

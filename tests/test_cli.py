@@ -185,3 +185,33 @@ def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
         ],
     )
     assert json.loads(out[-1])["written"] == 8
+
+
+def test_gumbel_codec_encode_decode_cli(fixture_root, tmp_path, capsys):
+    """Full tokenizer chain at the CLI surface: wav → codes.npy → wav."""
+    ckpt = tmp_path / "gumbel_ckpt"
+    cfg = tmp_path / "gumbel_cfg.json"
+    cfg.write_text(json.dumps({"latent_dim": 8, "patience": 3, "seed": 0}))
+    _run(
+        capsys,
+        [
+            "train", "--config", str(cfg), "--workload", "vqvae", "--variant",
+            "gumbel", "--data-root", str(fixture_root), "--epochs", "1",
+            "--checkpoint-dir", str(ckpt),
+        ],
+    )
+    wav = next((fixture_root / "tt" / "s1").glob("*.wav"))
+    codes_path = tmp_path / "codes.npy"
+    out = _run(
+        capsys,
+        ["codec-encode", "--checkpoint-dir", str(ckpt), "--wav", str(wav), "--out", str(codes_path)],
+    )
+    info = json.loads(out[-1])
+    codes = np.load(codes_path)
+    assert codes.shape[1] * 32 >= info["samples"]  # 32x downsampling
+    recon = tmp_path / "recon.wav"
+    _run(
+        capsys,
+        ["codec-decode", "--checkpoint-dir", str(ckpt), "--codes", str(codes_path), "--out", str(recon)],
+    )
+    assert recon.exists() and recon.stat().st_size > 1000
