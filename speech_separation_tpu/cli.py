@@ -276,13 +276,31 @@ def _example_input(cfg):
     return jnp.zeros((1, 8, cfg.frame_size))
 
 
+def _load_train_config(cls, checkpoint_dir: str, kind: str):
+    from .utils import load_config
+
+    path = pathlib.Path(checkpoint_dir) / "train_config.json"
+    if not path.exists():
+        raise SystemExit(
+            f"error: no {kind} checkpoint at {checkpoint_dir} "
+            f"(missing {path.name}; train one first)"
+        )
+    try:
+        return load_config(cls, path)
+    except ValueError as exc:
+        raise SystemExit(
+            f"error: checkpoint at {checkpoint_dir} is not a {kind} checkpoint "
+            f"({exc})"
+        ) from exc
+
+
 def _restore_upit(checkpoint_dir: str):
     import jax
 
     from . import train
-    from .utils import UPitTrainConfig, load_config
+    from .utils import UPitTrainConfig
 
-    cfg = load_config(UPitTrainConfig, pathlib.Path(checkpoint_dir) / "train_config.json")
+    cfg = _load_train_config(UPitTrainConfig, checkpoint_dir, "separator")
     model = _build_upit_model_from_cfg(cfg)
     rng = jax.random.key(cfg.seed)
     params = model.init(rng, _example_input(cfg))["params"]
@@ -363,6 +381,11 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 def cmd_evaluate(args) -> None:
     from .evaluate import eval_sdr, eval_si_sdr
 
+    est_dir = pathlib.Path(args.est_dir)
+    if not est_dir.is_dir():
+        raise SystemExit(f"error: estimate directory not found: {est_dir}")
+    if not any(est_dir.glob("*.wav")):
+        raise SystemExit(f"error: no .wav estimates in {est_dir} (run `separate` first)")
     si = eval_si_sdr(args.data_root, args.est_dir, args.split)
     sdr = eval_sdr(args.data_root, args.est_dir, args.split)
     print(json.dumps({"si_sdr_db": round(si, 4), "sdr_db": round(sdr, 4)}))
@@ -407,9 +430,10 @@ def _restore_vae(checkpoint_dir: str):
     import jax.numpy as jnp
 
     from . import train
-    from .utils import VaeTrainConfig, load_config
 
-    cfg = load_config(VaeTrainConfig, pathlib.Path(checkpoint_dir) / "train_config.json")
+    from .utils import VaeTrainConfig
+
+    cfg = _load_train_config(VaeTrainConfig, checkpoint_dir, "codec")
     model = _build_vae_model(cfg.variant, cfg)
     stacked = cfg.variant != "gumbel"
     example = jnp.zeros((1, 16, 40)) if stacked else jnp.zeros((1, 64, 1))
