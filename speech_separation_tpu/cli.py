@@ -177,6 +177,7 @@ def cmd_train(args) -> None:
             patience=cfg.patience,
             checkpoints=ckpt,
             resume=args.resume,
+            metrics=logger,
         )
         logger.close()
         ckpt.close()
@@ -243,6 +244,7 @@ def cmd_train(args) -> None:
         )
         ckpt = train.CheckpointManager(cfg.checkpoint_dir)
         save_config(cfg, pathlib.Path(cfg.checkpoint_dir) / "train_config.json")
+        logger = MetricsLogger(pathlib.Path(cfg.checkpoint_dir) / "metrics.jsonl", echo=False)
         result = train.fit(
             state,
             train_step,
@@ -254,7 +256,9 @@ def cmd_train(args) -> None:
             patience=cfg.patience,
             checkpoints=ckpt,
             resume=args.resume,
+            metrics=logger,
         )
+        logger.close()
         ckpt.close()
         print(
             json.dumps(
@@ -379,16 +383,34 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
 
 def cmd_evaluate(args) -> None:
-    from .evaluate import eval_sdr, eval_si_sdr
+    from .evaluate import evaluate_directory
 
     est_dir = pathlib.Path(args.est_dir)
     if not est_dir.is_dir():
         raise SystemExit(f"error: estimate directory not found: {est_dir}")
     if not any(est_dir.glob("*.wav")):
         raise SystemExit(f"error: no .wav estimates in {est_dir} (run `separate` first)")
-    si = eval_si_sdr(args.data_root, args.est_dir, args.split)
-    sdr = eval_sdr(args.data_root, args.est_dir, args.split)
-    print(json.dumps({"si_sdr_db": round(si, 4), "sdr_db": round(sdr, 4)}))
+    per_utt, agg = evaluate_directory(args.data_root, args.est_dir, args.split)
+    if args.per_utterance:
+        out = pathlib.Path(args.per_utterance)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as fh:
+            for record in per_utt:
+                fh.write(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                     for k, v in record.items()}) + "\n")
+    print(
+        json.dumps(
+            {
+                "si_sdr_db": round(agg["si_sdr"], 4),
+                "si_sdri_db": round(agg["si_sdri"], 4),
+                "sdr_db": round(agg["sdr"], 4),
+                "isr_db": round(agg["isr"], 4),
+                "sir_db": round(agg["sir"], 4),
+                "sar_db": round(agg["sar"], 4),
+                "utterances": agg["utterances"],
+            }
+        )
+    )
 
 
 def cmd_codec_encode(args) -> None:
@@ -525,10 +547,15 @@ def main(argv=None) -> None:
     p.add_argument("--bf16", action="store_true", help="bf16 mask network (serving precision)")
     p.set_defaults(func=cmd_separate)
 
-    p = sub.add_parser("evaluate", help="score separated wavs (SI-SDR, BSS SDR)")
+    p = sub.add_parser(
+        "evaluate", help="score separated wavs (SI-SDR, SI-SDRi, BSS SDR/SIR/SAR)"
+    )
     p.add_argument("--data-root", required=True)
     p.add_argument("--est-dir", required=True)
     p.add_argument("--split", default="tt")
+    p.add_argument(
+        "--per-utterance", default=None, help="write per-utterance scores to this JSONL"
+    )
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("codec-encode", help="tokenise a wav with a trained VQ codec")

@@ -15,10 +15,10 @@ import pathlib
 import numpy as np
 
 from ..data.audio_io import read_wav
-from ..metrics.bss_eval import bss_eval_sources
+from ..metrics.bss_eval import bss_eval_images, bss_eval_sources
 from ..metrics.sisdr import permute_si_sdr
 
-__all__ = ["eval_si_sdr", "eval_si_sdri", "eval_sdr", "score_pair"]
+__all__ = ["eval_si_sdr", "eval_si_sdri", "eval_sdr", "score_pair", "evaluate_directory"]
 
 
 def _load_pairs(wav_dir: pathlib.Path, est_dir: pathlib.Path, split: str = "tt"):
@@ -69,11 +69,19 @@ def eval_sdr(
     est_dir: str | pathlib.Path,
     split: str = "tt",
     flen: int = 512,
+    version: str = "images",
 ) -> float:
-    """Mean BSS-eval SDR (permutation-resolved) over the split (dB)."""
+    """Mean BSS-eval SDR (permutation-resolved) over the split (dB).
+
+    ``version="images"`` (default) matches the reference's actual museval
+    call (`evaluate_metrics.py:79-81` — museval's
+    ``bsseval_sources_version=False`` default); ``"sources"`` selects the
+    BSS Eval v3 sources variant.
+    """
+    evaluator = bss_eval_images if version == "images" else bss_eval_sources
     scores = []
     for _, refs, ests in _load_pairs(pathlib.Path(wav_dir), pathlib.Path(est_dir), split):
-        result = bss_eval_sources(np.stack(refs), np.stack(ests), flen=flen)
+        result = evaluator(np.stack(refs), np.stack(ests), flen=flen)
         sdr = np.mean(result.sdr)
         if np.isnan(sdr):
             sdr = np.mean(np.nan_to_num(result.sdr))
@@ -81,15 +89,52 @@ def eval_sdr(
     return float(np.mean(scores))
 
 
+def evaluate_directory(
+    wav_dir: str | pathlib.Path,
+    est_dir: str | pathlib.Path,
+    split: str = "tt",
+    flen: int = 512,
+) -> tuple[list[dict], dict[str, float]]:
+    """Score a separated split with every metric the reference reports.
+
+    One decode pass per utterance computes SI-SDR, SI-SDRi (improvement over
+    the unprocessed mixture — the north-star metric), and the BSS-eval
+    SDR/SIR/SAR triple the reference got from
+    ``museval.metrics.bss_eval(window=inf)``
+    (`metrics/evaluate_metrics.py:57-92`). Returns ``(per_utterance,
+    aggregate)``; aggregation is NaN-tolerant (``np.nan_to_num`` fallback,
+    matching `evaluate_metrics.py:85-86`).
+    """
+    wav_dir = pathlib.Path(wav_dir)
+    per_utterance: list[dict] = []
+    for name, refs, ests in _load_pairs(wav_dir, pathlib.Path(est_dir), split):
+        scores = score_pair(refs, ests, flen=flen)
+        mix, _ = read_wav(wav_dir / split / "mix" / name)
+        mix = mix[: refs[0].size]
+        scores["si_sdri"] = scores["si_sdr"] - permute_si_sdr(refs, (mix, mix))
+        per_utterance.append({"name": name, **scores})
+    keys = ("si_sdr", "si_sdri", "sdr", "isr", "sir", "sar")
+    aggregate = {
+        k: float(np.mean(np.nan_to_num([u[k] for u in per_utterance]))) for k in keys
+    }
+    aggregate["utterances"] = len(per_utterance)
+    return per_utterance, aggregate
+
+
 def score_pair(references, estimates, flen: int = 512) -> dict[str, float]:
-    """All metrics for one utterance: {si_sdr, sdr, sir, sar}."""
+    """All metrics for one utterance: {si_sdr, sdr, isr, sir, sar}.
+
+    The BSS-eval quadruple uses the *images* decomposition — the variant the
+    reference's museval call returned (`evaluate_metrics.py:79-81`).
+    """
     n = min(min(r.size for r in references), min(e.size for e in estimates))
     refs = np.stack([r[:n] for r in references])
     ests = np.stack([e[:n] for e in estimates])
-    bss = bss_eval_sources(refs, ests, flen=flen)
+    bss = bss_eval_images(refs, ests, flen=flen)
     return {
         "si_sdr": permute_si_sdr(list(refs), list(ests)),
         "sdr": float(np.mean(bss.sdr)),
+        "isr": float(np.mean(bss.isr)),
         "sir": float(np.mean(bss.sir)),
         "sar": float(np.mean(bss.sar)),
     }

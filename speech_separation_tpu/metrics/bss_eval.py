@@ -1,23 +1,37 @@
 """BSS-eval source-separation metrics (host-side numpy, no museval dep).
 
-Implements the classic BSS-eval decomposition with time-invariant distortion
+Implements the classic BSS-eval decompositions with time-invariant distortion
 filters (the ``window=inf`` case the reference uses via
-``museval.metrics.bss_eval(..., window=np.inf, compute_permutation=True)``,
-`metrics/evaluate_metrics.py:79-81`):
+``museval.metrics.bss_eval(..., window=np.inf, hop=np.inf,
+compute_permutation=True)``, `metrics/evaluate_metrics.py:79-81`).
 
-the estimate is decomposed as ``e = s_target + e_interf + e_artif`` where
-``s_target`` is the least-squares projection of the estimate onto ``flen``
-shifted copies of the matching reference source, and ``s_target + e_interf``
-the projection onto shifted copies of *all* reference sources. Then
+Both estimators share one least-squares machinery: ``proj_each[j]`` is the
+projection of the estimate onto ``flen`` shifted copies of reference ``j``
+and ``proj_all`` the projection onto shifted copies of *all* references.
+
+:func:`bss_eval_sources` — BSS Eval v3 *sources* variant
+(``bsseval_sources_version=True``); ``s_target = proj_each[j]``:
 
     SDR = 10 log10 ‖s_target‖² / ‖e_interf + e_artif‖²
     SIR = 10 log10 ‖s_target‖² / ‖e_interf‖²
     SAR = 10 log10 ‖s_target + e_interf‖² / ‖e_artif‖²
 
+:func:`bss_eval_images` — the museval v4 default the reference actually ran
+(it unpacks ``(sdr, isr, sir, sar, perm)`` — ISR exists only in the images
+variant); ``s_true`` is the reference itself and the distortion filter is
+charged as spatial error ``e_spat = proj_each[j] − s_true``:
+
+    SDR = 10 log10 ‖s_true‖² / ‖e_spat + e_interf + e_artif‖²
+    ISR = 10 log10 ‖s_true‖² / ‖e_spat‖²
+    SIR = 10 log10 ‖s_true + e_spat‖² / ‖e_interf‖²
+    SAR = 10 log10 ‖s_true + e_spat + e_interf‖² / ‖e_artif‖²
+
 Projections are computed with FFT cross-correlations and one Gram solve of
 size ``nsrc * flen`` (block-Toeplitz structure; a direct solve is fast at the
-default ``flen=512``). Permutation search maximises mean SIR, breaking ties
-toward mean SDR, and returns metrics for the best assignment.
+default ``flen=512``). Both are cross-validated against an algorithmically
+independent dense convolution-matrix ``lstsq`` oracle in
+``tests/test_losses_metrics.py``. Permutation search maximises mean SIR,
+breaking ties toward mean SDR, and returns metrics for the best assignment.
 """
 
 from __future__ import annotations
@@ -27,11 +41,19 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["bss_eval_sources", "BssEvalResult"]
+__all__ = ["bss_eval_sources", "bss_eval_images", "BssEvalResult", "BssEvalImagesResult"]
 
 
 class BssEvalResult(NamedTuple):
     sdr: np.ndarray  # [nsrc]
+    sir: np.ndarray  # [nsrc]
+    sar: np.ndarray  # [nsrc]
+    perm: np.ndarray  # [nsrc] — estimate index assigned to each reference
+
+
+class BssEvalImagesResult(NamedTuple):
+    sdr: np.ndarray  # [nsrc]
+    isr: np.ndarray  # [nsrc] — source-image-to-spatial-distortion ratio
     sir: np.ndarray  # [nsrc]
     sar: np.ndarray  # [nsrc]
     perm: np.ndarray  # [nsrc] — estimate index assigned to each reference
@@ -134,4 +156,63 @@ def bss_eval_sources(
     rows = np.arange(nsrc)
     return BssEvalResult(
         sdr=sdr[rows, perm], sir=sir[rows, perm], sar=sar[rows, perm], perm=perm
+    )
+
+
+def bss_eval_images(
+    references: np.ndarray,
+    estimates: np.ndarray,
+    flen: int = 512,
+    compute_permutation: bool = True,
+) -> BssEvalImagesResult:
+    """museval-v4-style (images) SDR/ISR/SIR/SAR for ``[nsrc, T]`` signals.
+
+    This is what the reference's ``eval_sdr`` actually computed:
+    ``museval.metrics.bss_eval`` defaults to ``bsseval_sources_version=False``
+    (`metrics/evaluate_metrics.py:79-81`). With ``window=inf`` the images SDR
+    reduces to the plain energy ratio ``‖ref‖² / ‖est − ref‖²`` because
+    ``e_spat + e_interf + e_artif = est − s_true``.
+    """
+    references = np.asarray(references, dtype=np.float64)
+    estimates = np.asarray(estimates, dtype=np.float64)
+    if references.ndim != 2 or estimates.shape != references.shape:
+        raise ValueError("references and estimates must both be [nsrc, T]")
+    nsrc, t = references.shape
+    n_out = t + flen - 1
+
+    sdr = np.zeros((nsrc, nsrc))
+    isr = np.zeros((nsrc, nsrc))
+    sir = np.zeros((nsrc, nsrc))
+    sar = np.zeros((nsrc, nsrc))
+    for e_idx in range(nsrc):
+        est_pad = np.concatenate([estimates[e_idx], np.zeros(flen - 1)])
+        proj_all, proj_each = _shifted_projections(references, estimates[e_idx], flen)
+        e_artif = est_pad - proj_all
+        for r_idx in range(nsrc):
+            s_true = np.concatenate([references[r_idx], np.zeros(flen - 1)])
+            e_spat = proj_each[r_idx] - s_true
+            e_interf = proj_all - proj_each[r_idx]
+            sdr[r_idx, e_idx] = _db(np.sum(s_true**2), np.sum((est_pad - s_true) ** 2))
+            isr[r_idx, e_idx] = _db(np.sum(s_true**2), np.sum(e_spat**2))
+            sir[r_idx, e_idx] = _db(np.sum(proj_each[r_idx] ** 2), np.sum(e_interf**2))
+            sar[r_idx, e_idx] = _db(np.sum(proj_all**2), np.sum(e_artif**2))
+
+    if compute_permutation:
+        best, best_key = None, None
+        for candidate in itertools.permutations(range(nsrc)):
+            p = np.asarray(candidate)
+            key = (np.mean(sir[np.arange(nsrc), p]), np.mean(sdr[np.arange(nsrc), p]))
+            if best_key is None or key > best_key:
+                best, best_key = p, key
+        perm = best
+    else:
+        perm = np.arange(nsrc)
+
+    rows = np.arange(nsrc)
+    return BssEvalImagesResult(
+        sdr=sdr[rows, perm],
+        isr=isr[rows, perm],
+        sir=sir[rows, perm],
+        sar=sar[rows, perm],
+        perm=perm,
     )

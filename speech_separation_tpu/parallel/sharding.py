@@ -76,18 +76,7 @@ def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
 def shard_state(state: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
     """Shard a TrainState: params + optimizer moments alike, scalars replicated."""
     params = shard_params(state.params, mesh, tensor_parallel)
-
-    def _opt(value):
-        # optimizer moments mirror the param tree structure where shaped alike
-        return value
-
-    # Re-initialise optimizer state from the sharded params so moments inherit
-    # the same placement (moment trees are structurally identical to params).
-    opt_state = jax.tree.map(
-        lambda x: jax.device_put(x, replicated(mesh)) if getattr(x, "ndim", 0) == 0 else x,
-        state.opt_state,
-    )
-    opt_state = _mirror_param_sharding(opt_state, params, mesh)
+    opt_state = _mirror_param_sharding(state.opt_state, params, mesh)
     return state.replace(
         params=params,
         opt_state=opt_state,
@@ -96,22 +85,39 @@ def shard_state(state: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
     )
 
 
-def _mirror_param_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
-    """Give optimizer moment tensors the same sharding as their parameter."""
-    param_leaves = {id(l): l for l in jax.tree.leaves(params)}
-    shard_by_shape: dict[tuple, Any] = {}
-    for leaf in jax.tree.leaves(params):
-        shard_by_shape.setdefault(tuple(leaf.shape), leaf.sharding)
+def _key_name(entry: Any) -> str:
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
 
-    def _place(value):
+
+def _mirror_param_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Give optimizer moment tensors the same sharding as their parameter.
+
+    Moment trees (e.g. optax ``ScaleByAdamState.mu``/``nu``) embed the
+    parameter tree, so an opt-state leaf's path *ends with* its parameter's
+    path — match by the longest such suffix, never by shape: two same-shaped
+    params can carry different shardings (exactly what the divisibility
+    fallback in :func:`shard_params` produces). Scalars and unmatched leaves
+    are replicated.
+    """
+    param_by_path = {
+        tuple(_key_name(k) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+
+    def _place(path, value):
         if getattr(value, "ndim", 0) == 0:
             return jax.device_put(value, replicated(mesh))
-        sharding = shard_by_shape.get(tuple(value.shape))
-        if sharding is None:
-            sharding = replicated(mesh)
-        return jax.device_put(value, sharding)
+        keys = tuple(_key_name(k) for k in path)
+        for start in range(len(keys)):  # first hit = longest suffix
+            param = param_by_path.get(keys[start:])
+            if param is not None and tuple(param.shape) == tuple(value.shape):
+                return jax.device_put(value, param.sharding)
+        return jax.device_put(value, replicated(mesh))
 
-    return jax.tree.map(_place, opt_state)
+    return jax.tree_util.tree_map_with_path(_place, opt_state)
 
 
 def shard_batch(arrays: tuple, mesh: Mesh) -> tuple:

@@ -11,8 +11,14 @@ loop (`vq-vae_for_1d_data.ipynb cell 19`):
 - loss history collected for curve dumps;
 - batches are device-prefetched (double buffer) so host prep overlaps compute;
 - failure detection the reference lacks: a non-finite train loss aborts the
-  epoch loop and restores the best finite state (``FitResult.diverged``),
-  and ``resume=True`` restarts from the newest checkpoint snapshot.
+  run *mid-epoch* (checked every ``nan_check_every`` steps so a step-1 NaN
+  doesn't burn the whole epoch) and restores the best finite state
+  (``FitResult.diverged``), and ``resume=True`` restarts from the newest
+  checkpoint snapshot;
+- observability: pass a :class:`~speech_separation_tpu.utils.MetricsLogger`
+  as ``metrics`` and every train step's loss plus per-epoch summaries stream
+  to its JSONL file (step losses are fetched at epoch end so logging adds no
+  per-step host sync).
 """
 
 from __future__ import annotations
@@ -54,6 +60,8 @@ def fit(
     log_fn: Callable[[str], None] = print,
     prefetch: int = 2,
     resume: bool = False,
+    metrics: Any = None,
+    nan_check_every: int = 25,
 ) -> FitResult:
     """Train with per-epoch validation.
 
@@ -61,6 +69,9 @@ def fit(
     from a loader batch (loaders carry host-only fields like names).
     ``train_step(state, *arrays) -> (state, loss)``;
     ``eval_step(state, *arrays) -> loss`` (extra outputs are ignored).
+    ``metrics`` is an optional ``MetricsLogger``; ``nan_check_every`` bounds
+    how many steps a divergent run can waste before it is aborted (0 → only
+    check at epoch end).
     """
     if resume and checkpoints is not None:
         try:
@@ -72,18 +83,29 @@ def fit(
     result = FitResult(state=state, history={"loss": [], "val_loss": []})
     best_state = state
     since_best = 0
+    global_step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
 
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         train_losses = []
+        diverged_at = None
         for batch in prefetch_to_device(iter(train_loader), prefetch):
             state, loss, *_ = _as_tuple(train_step(state, *batch_arrays(batch)))
             train_losses.append(loss)
-        if train_losses and not np.isfinite(float(train_losses[-1])):
+            global_step += 1
+            # periodic mid-epoch guard: fetching the newest loss syncs on an
+            # already-dispatched step, so the pipeline bubble is ~1/N steps
+            if nan_check_every and len(train_losses) % nan_check_every == 0:
+                if not np.isfinite(float(train_losses[-1])):
+                    diverged_at = global_step
+                    break
+        if diverged_at is None and train_losses and not np.isfinite(float(train_losses[-1])):
+            diverged_at = global_step
+        if diverged_at is not None:
             result.diverged = True
             log_fn(
-                f"non-finite train loss at epoch {epoch}; stopping and restoring "
-                f"best state (epoch {result.best_epoch})"
+                f"non-finite train loss at step {diverged_at} (epoch {epoch}); "
+                f"stopping and restoring best state (epoch {result.best_epoch})"
             )
             break
         val_losses = []
@@ -91,13 +113,26 @@ def fit(
             out = eval_step(state, *batch_arrays(batch))
             val_losses.append(out[0] if isinstance(out, tuple) else out)
 
-        train_loss = float(np.mean([float(x) for x in train_losses])) if train_losses else float("nan")
+        step_losses = [float(x) for x in train_losses]
+        train_loss = float(np.mean(step_losses)) if step_losses else float("nan")
         val_loss = float(np.mean([float(x) for x in val_losses])) if val_losses else float("nan")
         result.history["loss"].append(train_loss)
         result.history["val_loss"].append(val_loss)
+        epoch_time = time.time() - t0
+        if metrics is not None:
+            first_step = global_step - len(step_losses) + 1
+            for i, step_loss in enumerate(step_losses):
+                metrics.log(first_step + i, loss=step_loss)
+            metrics.log(
+                global_step,
+                epoch=epoch,
+                train_loss=train_loss,
+                val_loss=val_loss,
+                epoch_time_s=round(epoch_time, 3),
+            )
         log_fn(
             f"epoch {epoch}/{epochs}  loss={train_loss:.5f}  val_loss={val_loss:.5f}"
-            f"  ({time.time() - t0:.2f}s)"
+            f"  ({epoch_time:.2f}s)"
         )
 
         if val_loss < result.best_val_loss:

@@ -59,6 +59,12 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     )
     summary = json.loads(out[-1])
     assert np.isfinite(summary["best_val_loss"])
+    # training streams step + epoch records to metrics.jsonl (VERDICT weak #3)
+    metrics_lines = [
+        json.loads(l) for l in (ckpt_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("epoch" in r for r in metrics_lines)
+    assert any("loss" in r and "epoch" not in r for r in metrics_lines)
 
     sep_dir = tmp_path / "sep"
     out = _run(
@@ -75,6 +81,7 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     )
     assert json.loads(out[-1])["written"] == 8
 
+    per_utt_path = tmp_path / "per_utt.jsonl"
     out = _run(
         capsys,
         [
@@ -83,10 +90,17 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
             str(fixture_root),
             "--est-dir",
             str(sep_dir) + "/",
+            "--per-utterance",
+            str(per_utt_path),
         ],
     )
     scores = json.loads(out[-1])
-    assert np.isfinite(scores["si_sdr_db"]) and np.isfinite(scores["sdr_db"])
+    for key in ("si_sdr_db", "si_sdri_db", "sdr_db", "sir_db", "sar_db"):
+        assert np.isfinite(scores[key]), key
+    assert scores["utterances"] == 4
+    per_utt = [json.loads(l) for l in per_utt_path.read_text().splitlines()]
+    assert len(per_utt) == 4
+    assert {"name", "si_sdr", "si_sdri", "sdr", "sir", "sar"} <= set(per_utt[0])
 
 
 def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):

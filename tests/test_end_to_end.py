@@ -33,8 +33,13 @@ def test_reference_artifacts_scored_by_our_evaluator(reference_root):
     est_dir = reference_root / "test_wav"
     si = eval_si_sdr(wav_dir, est_dir)
     np.testing.assert_allclose(si, -4.2168, atol=0.01)
-    sdr = eval_sdr(wav_dir, est_dir)
-    np.testing.assert_allclose(sdr, -1.7252, atol=0.05)
+    # default = museval-images semantics (the variant the reference's call
+    # actually computed); both variants are oracle-corroborated in
+    # tests/test_losses_metrics.py::TestBssEvalOracle
+    sdr_images = eval_sdr(wav_dir, est_dir)
+    np.testing.assert_allclose(sdr_images, 2.7263, atol=0.05)
+    sdr_sources = eval_sdr(wav_dir, est_dir, version="sources")
+    np.testing.assert_allclose(sdr_sources, -1.7252, atol=0.05)
 
 
 def test_train_step_reduces_loss(fixture_root):

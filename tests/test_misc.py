@@ -82,6 +82,79 @@ def test_fit_detects_divergence():
     assert len(result.history["loss"]) == 0  # aborted before recording epoch 1
 
 
+def test_fit_aborts_mid_epoch_on_nan():
+    """A step-1 NaN must not burn the whole epoch: abort within
+    ``nan_check_every`` steps (VERDICT weak #6)."""
+    from speech_separation_tpu import train
+
+    steps_run = []
+
+    class Loader:
+        def __iter__(self):
+            return iter([(jnp.ones(2),) for _ in range(100)])
+
+    def train_step(state, x):
+        steps_run.append(1)
+        return state, jnp.asarray(float("nan"))
+
+    result = train.fit(
+        state=object(),
+        train_step=train_step,
+        eval_step=lambda state, x: jnp.asarray(1.0),
+        train_loader=Loader(),
+        val_loader=Loader(),
+        batch_arrays=lambda b: b,
+        epochs=1,
+        nan_check_every=5,
+        log_fn=lambda s: None,
+    )
+    assert result.diverged
+    assert len(steps_run) == 5  # aborted at the first periodic check
+
+
+def test_fit_streams_metrics_jsonl(tmp_path):
+    """fit(metrics=...) writes per-step losses and per-epoch summaries the
+    plots module can render (VERDICT weak #3)."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.utils import MetricsLogger
+    from speech_separation_tpu.utils.plots import plot_metrics_file
+
+    class Loader:
+        def __init__(self, n):
+            self.n = n
+
+        def __iter__(self):
+            return iter([(jnp.ones(2),) for _ in range(self.n)])
+
+    losses = iter(np.linspace(3.0, 1.0, 6))
+
+    def train_step(state, x):
+        return state, jnp.asarray(next(losses))
+
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricsLogger(path)
+    train.fit(
+        state=object(),
+        train_step=train_step,
+        eval_step=lambda state, x: jnp.asarray(0.5),
+        train_loader=Loader(3),
+        val_loader=Loader(1),
+        batch_arrays=lambda b: b,
+        epochs=2,
+        metrics=logger,
+        log_fn=lambda s: None,
+    )
+    logger.close()
+    records = [json.loads(l) for l in path.read_text().splitlines()]
+    step_records = [r for r in records if "loss" in r and "epoch" not in r]
+    epoch_records = [r for r in records if "epoch" in r]
+    assert len(step_records) == 6  # one per train step
+    assert [r["step"] for r in step_records] == [1, 2, 3, 4, 5, 6]
+    assert len(epoch_records) == 2
+    assert epoch_records[0]["val_loss"] == 0.5
+    assert plot_metrics_file(path, tmp_path / "m.png").exists()
+
+
 def test_synthetic_fixture_layout(tmp_path):
     from speech_separation_tpu.data import WaveformLoader, make_synthetic_fixture
 

@@ -101,6 +101,45 @@ def test_pad_batch_for_mesh_and_divisibility_guard():
     assert sharded[0].shape[0] == 8
 
 
+def test_moment_sharding_maps_by_path_not_shape():
+    """Two same-shaped params with *different* shardings: each optimizer
+    moment must follow its own parameter's placement (regression for the
+    old shape-keyed lookup, which gave both whichever sharding came first)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = parallel.make_mesh(data=4, model=2)
+    params = {
+        "a": {"kernel": jnp.ones((4, 8))},  # TP rule: shard last dim on model
+        "b": {"proj": jnp.ones((4, 8))},  # no rule match: replicated
+    }
+    state = train.TrainState.create(lambda p, x: x, params, train.adam(1e-3), jax.random.key(0))
+    sharded = parallel.shard_state(state, mesh, tensor_parallel=True)
+
+    assert sharded.params["a"]["kernel"].sharding.spec == P(None, "model")
+    assert sharded.params["b"]["proj"].sharding.is_fully_replicated
+    mu = sharded.opt_state[0].mu
+    nu = sharded.opt_state[0].nu
+    for tree in (mu, nu):
+        assert tree["a"]["kernel"].sharding.spec == P(None, "model")
+        assert tree["b"]["proj"].sharding.is_fully_replicated
+    # scalars (adam count) replicated
+    assert sharded.opt_state[0].count.sharding.is_fully_replicated
+    # and the sharded state still trains: one step, placements preserved
+    def loss_fn(p, x):
+        return jnp.sum((x @ p["a"]["kernel"] + x @ p["b"]["proj"]) ** 2)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def step(s, x):
+        grads = jax.grad(lambda p: loss_fn(p, x))(s.params)
+        return s.apply_gradients(grads)
+
+    x = parallel.shard_batch((jnp.ones((8, 4)),), mesh)[0]
+    new_state = step(sharded, x)
+    assert new_state.opt_state[0].mu["a"]["kernel"].sharding.spec == P(None, "model")
+
+
 def test_tasnet_tp_sharded_step_matches_single_device():
     from speech_separation_tpu.models import ConvTasNet
 
