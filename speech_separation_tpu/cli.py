@@ -10,6 +10,8 @@ The reference has no CLI — every workflow is "run the notebook top to bottom"
     python -m speech_separation_tpu.cli evaluate --est-dir out
     python -m speech_separation_tpu.cli codec-encode --wav in.wav --out codes.npy
     python -m speech_separation_tpu.cli codec-decode --codes codes.npy --out out.wav
+    python -m speech_separation_tpu.cli prior-train --codec-dir CKPT_T3TOK
+    python -m speech_separation_tpu.cli prior-sample --prior-dir PRIOR --out sample.wav
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def _build_upit_model_from_cfg(cfg):
 
 
 def _build_vae_model(variant: str, cfg):
-    from .models import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
+    from .models import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3, VqVaeT3Tok
 
     if variant == "gumbel":
         return VqVaeGumbel(latent_dim=cfg.latent_dim)
@@ -55,6 +57,15 @@ def _build_vae_model(variant: str, cfg):
         return VqVaeT2(embedding_dim=cfg.embedding_dim, num_embeddings=cfg.num_embeddings)
     if variant == "t3":
         return VqVaeT3(embedding_dim=cfg.embedding_dim, num_embeddings=cfg.num_embeddings)
+    if variant == "t3tok":
+        return VqVaeT3Tok(
+            embedding_dim=cfg.embedding_dim,
+            num_embeddings=cfg.num_embeddings,
+            skip_embeddings=cfg.skip_embeddings,
+            deep_depth=cfg.deep_depth,
+            skip_depth=cfg.skip_depth,
+            skip_pq=cfg.skip_pq,
+        )
     raise SystemExit(f"unknown VQ-VAE variant {variant!r}")
 
 
@@ -119,7 +130,11 @@ def cmd_train(args) -> None:
 
         if cfg.variant == "blstm":
             train_step, eval_step = train.make_upit_waveform_steps(
-                model, cfg.stft.size, cfg.stft.shift, cfg.num_speakers
+                model,
+                cfg.stft.size,
+                cfg.stft.shift,
+                cfg.num_speakers,
+                compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None,
             )
 
             def batch_arrays(b):
@@ -210,7 +225,7 @@ def cmd_train(args) -> None:
         example = jnp.zeros((1, 16, 40)) if stacked else jnp.zeros((1, 64, 1))
         init_rngs = {"params": rng} if stacked else {"params": rng, "gumbel": rng}
         params = model.init(init_rngs, example)["params"]
-        tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3") else train.adam(
+        tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3", "t3tok") else train.adam(
             cfg.learning_rate if cfg.variant != "gumbel" else 1e-4
         )
         state = train.TrainState.create(model.apply, params, tx, rng)
@@ -231,7 +246,7 @@ def cmd_train(args) -> None:
         root = pathlib.Path(cfg.data_root)
         # t3 downsamples 8× (three stride-2 levels) → K must align to 8
         # (reference `_t3 cell 3`); t2/v2 align to 4 (`_t2 cell 3`)
-        alignment = 8 if cfg.variant == "t3" else 4
+        alignment = 8 if cfg.variant in ("t3", "t3tok") else 4
         make_loader = lambda split, shuffle: data.VaeLoader(
             root / split,
             source=cfg.source,
@@ -283,7 +298,8 @@ def _example_input(cfg):
 def _load_train_config(cls, checkpoint_dir: str, kind: str):
     from .utils import load_config
 
-    path = pathlib.Path(checkpoint_dir) / "train_config.json"
+    filename = "prior_config.json" if kind == "prior" else "train_config.json"
+    path = pathlib.Path(checkpoint_dir) / filename
     if not path.exists():
         raise SystemExit(
             f"error: no {kind} checkpoint at {checkpoint_dir} "
@@ -323,13 +339,37 @@ def _restore_upit(checkpoint_dir: str):
 
 
 def cmd_separate(args) -> None:
-    from .separate import separate_directory
+    from .separate import separate_directory, separate_long_directory
 
     cfg, model, state = _restore_upit(args.checkpoint_dir)
     if cfg.variant == "tasnet":
         _separate_time_domain(cfg, model, state, args)
         return
     import jax.numpy as jnp
+
+    if args.long_utterance:
+        # sequence parallelism: shard each utterance's time axis over every
+        # device (halo-exchange STFT/iSTFT; see parallel/sequence.py)
+        import jax
+
+        from . import parallel
+
+        mesh = parallel.make_mesh(data=1, model=len(jax.devices()))
+        written = separate_long_directory(
+            model,
+            state.params,
+            mesh,
+            pathlib.Path(args.data_root or cfg.data_root) / args.split,
+            args.out_dir,
+            size=cfg.stft.size,
+            shift=cfg.stft.shift,
+            num_speakers=cfg.num_speakers,
+            sample_rate=cfg.stft.sample_rate,
+            chunked_mask=args.chunked_mask,
+        )
+        print(json.dumps({"written": len(written), "out_dir": str(args.out_dir),
+                          "sequence_parallel_devices": mesh.shape["model"]}))
+        return
 
     written = separate_directory(
         model,
@@ -352,6 +392,9 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
     from .data import WaveformLoader, audiowrite, wait_for_pending_writes
 
+    if getattr(args, "bf16", False):
+        # serving precision: convs/matmuls in bf16, gLN stats stay fp32
+        model = model.clone(dtype=jnp.bfloat16)
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     loader = WaveformLoader(
@@ -417,14 +460,40 @@ def cmd_codec_encode(args) -> None:
     import jax.numpy as jnp
 
     from .data import read_normalized
-    from .models import VqVaeT3
+    from .tokenizer import code_metrics
 
     cfg, model, state = _restore_vae(args.checkpoint_dir)
     wav = read_normalized(args.wav, cfg.sample_rate)
     frames = _stack_frames(wav, cfg.variant)
     codes = model.apply({"params": state.params}, jnp.asarray(frames), method=type(model).codes)
+    if cfg.variant == "t3tok":
+        deep, skip = (np.asarray(c) for c in codes)
+        np.savez(args.out, deep=deep, skip=skip)
+        print(
+            json.dumps(
+                {
+                    "codes": str(args.out),
+                    "deep_shape": list(deep.shape),
+                    "skip_shape": list(skip.shape),
+                    "samples": len(wav),
+                    "deep": code_metrics(deep, cfg.num_embeddings),
+                    "skip": code_metrics(skip, cfg.skip_embeddings),
+                }
+            )
+        )
+        return
     np.save(args.out, np.asarray(codes))
-    print(json.dumps({"codes": str(args.out), "shape": list(codes.shape), "samples": len(wav)}))
+    vocab = cfg.latent_dim if cfg.variant == "gumbel" else cfg.num_embeddings
+    print(
+        json.dumps(
+            {
+                "codes": str(args.out),
+                "shape": list(codes.shape),
+                "samples": len(wav),
+                "codebook": code_metrics(np.asarray(codes), vocab),
+            }
+        )
+    )
 
 
 def _stack_frames(wav: np.ndarray, variant: str, frame_size: int = 40) -> np.ndarray:
@@ -439,7 +508,7 @@ def _stack_frames(wav: np.ndarray, variant: str, frame_size: int = 40) -> np.nda
         out = np.zeros((1, t, 1), np.float32)
         out[0, : len(wav), 0] = wav
         return out
-    alignment = 8 if variant == "t3" else 4
+    alignment = 8 if variant in ("t3", "t3tok") else 4
     k = -(-len(wav) // frame_size)
     k = ((k + alignment - 1) // alignment) * alignment
     frames = np.zeros((1, k, frame_size), np.float32)
@@ -464,7 +533,7 @@ def _restore_vae(checkpoint_dir: str):
     params = model.init(init_rngs, example)["params"]
     # optimizer template must match the one used in training or the restored
     # opt-state tree won't line up
-    tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3") else train.adam(
+    tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3", "t3tok") else train.adam(
         cfg.learning_rate if cfg.variant != "gumbel" else 1e-4
     )
     state = train.TrainState.create(model.apply, params, tx, rng)
@@ -477,28 +546,201 @@ def _restore_vae(checkpoint_dir: str):
 def cmd_codec_decode(args) -> None:
     """Decode a saved code array back to a waveform (self-contained codecs).
 
-    Only the Gumbel codec's codes are self-contained; the t2/t3 hierarchies
-    carry a U-skip from the encoder (as in the reference topologies), so
+    Self-contained codecs: ``gumbel`` (codes.npy) and the tokenizer-grade
+    ``t3tok`` (codes.npz with ``deep``/``skip`` streams — both VQ levels are
+    quantized, so codes fully determine the audio). The t2/t3 hierarchies
+    carry a raw U-skip from the encoder (as in the reference topologies), so
     their codes alone cannot reconstruct — use ``codec-roundtrip`` there.
     """
     import jax.numpy as jnp
 
     from .data import audiowrite
-    from .models import VqVaeGumbel
+    from .models import VqVaeGumbel, VqVaeT3Tok
 
     cfg, model, state = _restore_vae(args.checkpoint_dir)
-    if not isinstance(model, VqVaeGumbel):
-        raise SystemExit(
-            f"codec-decode requires the self-contained 'gumbel' codec; the "
-            f"{cfg.variant!r} hierarchy has a U-skip and needs codec-roundtrip"
+    if isinstance(model, VqVaeT3Tok):
+        payload = np.load(args.codes)
+        wav = model.apply(
+            {"params": state.params},
+            jnp.asarray(payload["deep"]),
+            jnp.asarray(payload["skip"]),
+            method=VqVaeT3Tok.decode_codes,
         )
-    codes = jnp.asarray(np.load(args.codes))
-    wav = model.apply(
-        {"params": state.params}, codes, method=VqVaeGumbel.decode_codes
-    )
+    elif isinstance(model, VqVaeGumbel):
+        codes = jnp.asarray(np.load(args.codes))
+        wav = model.apply(
+            {"params": state.params}, codes, method=VqVaeGumbel.decode_codes
+        )
+    else:
+        raise SystemExit(
+            f"codec-decode requires a self-contained codec ('gumbel' or "
+            f"'t3tok'); the {cfg.variant!r} hierarchy has a raw U-skip and "
+            f"needs codec-roundtrip"
+        )
     out = np.asarray(wav).reshape(-1)
     audiowrite(out, args.out, cfg.sample_rate, normalize=True)
     print(json.dumps({"out": str(args.out), "samples": int(out.size)}))
+
+
+def _build_prior(cfg, vocab: int):
+    from .models import CodePrior
+
+    return CodePrior(
+        num_codes=vocab,
+        dim=cfg.dim,
+        depth=cfg.depth,
+        num_heads=cfg.num_heads,
+        max_distance=cfg.max_distance,
+    )
+
+
+def cmd_prior_train(args) -> None:
+    """Train a CodePrior transformer over a tokenizer codec's code streams.
+
+    Finishes the reference's sketch: VQ codes as "transformer input"
+    (`vq-vae_for_1d_data.ipynb cell 24`) with the relative-position attention
+    of `Untitled.ipynb cells 1-4`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import data, train
+    from .tokenizer import (
+        TokenLayout,
+        TokenWindowLoader,
+        code_metrics,
+        encode_split,
+        make_prior_steps,
+    )
+    from .utils import MetricsLogger, PriorTrainConfig, load_config, save_config
+
+    cfg = load_config(
+        PriorTrainConfig,
+        args.config,
+        dict(
+            codec_dir=args.codec_dir,
+            data_root=args.data_root,
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            seq_len=args.seq_len,
+            checkpoint_dir=args.checkpoint_dir,
+        ),
+    )
+    codec_cfg, codec_model, codec_state = _restore_vae(cfg.codec_dir)
+    if codec_cfg.variant != "t3tok":
+        raise SystemExit(
+            f"prior-train needs a self-contained 't3tok' tokenizer codec "
+            f"(got {codec_cfg.variant!r}); its codes alone must reconstruct audio"
+        )
+    layout = TokenLayout.for_codec(codec_model)
+    # snap the window to whole token groups (group size depends on the
+    # codec's RVQ/PQ geometry, which the user shouldn't have to compute)
+    seq_len = max(layout.group, cfg.seq_len // layout.group * layout.group)
+
+    root = pathlib.Path(cfg.data_root)
+    make_loader = lambda split: data.VaeLoader(
+        root / split,
+        source=cfg.source,
+        batch_size=4,
+        sample_rate=codec_cfg.sample_rate,
+        stacked=True,
+        stride_alignment=8,
+    )
+    train_tokens = encode_split(
+        codec_model, codec_state.params, make_loader(cfg.train_split), seq_len, layout
+    )
+    val_tokens = encode_split(
+        codec_model, codec_state.params, make_loader(cfg.val_split), seq_len, layout
+    )
+
+    model = _build_prior(cfg, layout.vocab)
+    rng = jax.random.key(cfg.seed)
+    params = model.init(rng, jnp.zeros((1, seq_len), jnp.int32))["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(cfg.learning_rate), rng)
+    train_step, eval_step = make_prior_steps(model)
+
+    ckpt = train.CheckpointManager(cfg.checkpoint_dir)
+    save_config(cfg, pathlib.Path(cfg.checkpoint_dir) / "prior_config.json")
+    logger = MetricsLogger(pathlib.Path(cfg.checkpoint_dir) / "metrics.jsonl", echo=False)
+    result = train.fit(
+        state,
+        train_step,
+        eval_step,
+        TokenWindowLoader(train_tokens, cfg.batch_size, shuffle=True, seed=cfg.seed),
+        TokenWindowLoader(val_tokens, cfg.batch_size),
+        lambda b: (jnp.asarray(b),),
+        epochs=cfg.epochs,
+        patience=cfg.patience,
+        checkpoints=ckpt,
+        resume=args.resume,
+        metrics=logger,
+    )
+    logger.close()
+    ckpt.close()
+    deep_stream, skip_stream = (np.asarray(s) for s in layout.deinterleave(train_tokens))
+    print(
+        json.dumps(
+            {
+                "best_val_loss": result.best_val_loss,
+                "best_epoch": result.best_epoch,
+                "windows": int(train_tokens.shape[0]),
+                "vocab": layout.vocab,
+                "deep_codebook": code_metrics(deep_stream, codec_cfg.num_embeddings),
+                "skip_codebook": code_metrics(skip_stream, codec_cfg.skip_embeddings),
+            }
+        )
+    )
+
+
+def cmd_prior_sample(args) -> None:
+    """Sample the prior and decode the sampled codes to a waveform."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import train
+    from .data import audiowrite
+    from .models import VqVaeT3Tok
+    from .tokenizer import TokenLayout, sample_codes
+    from .utils import PriorTrainConfig
+
+    cfg = _load_train_config(PriorTrainConfig, args.prior_dir, "prior")
+    codec_cfg, codec_model, codec_state = _restore_vae(args.codec_dir or cfg.codec_dir)
+    layout = TokenLayout.for_codec(codec_model)
+
+    model = _build_prior(cfg, layout.vocab)
+    rng = jax.random.key(args.seed)
+    params = model.init(rng, jnp.zeros((1, 8 * layout.group), jnp.int32))["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(cfg.learning_rate), rng)
+    ckpt = train.CheckpointManager(args.prior_dir)
+    state = ckpt.restore(state)
+    ckpt.close()
+
+    # one group = one deep step = 8 waveform frames = 320 samples
+    num_groups = max(1, int(args.seconds * codec_cfg.sample_rate) // 320)
+    tokens = sample_codes(
+        model,
+        state.params,
+        num_groups,
+        jax.random.key(args.seed),
+        layout,
+        temperature=args.temperature,
+    )
+    deep, skip = layout.deinterleave(tokens)
+    frames = codec_model.apply(
+        {"params": codec_state.params}, deep, skip, method=VqVaeT3Tok.decode_codes
+    )
+    wav = np.asarray(frames).reshape(-1)
+    audiowrite(wav, args.out, codec_cfg.sample_rate, normalize=True)
+    print(
+        json.dumps(
+            {
+                "out": str(args.out),
+                "samples": int(wav.size),
+                "tokens": int(tokens.shape[1]),
+                "seconds": round(wav.size / codec_cfg.sample_rate, 2),
+            }
+        )
+    )
 
 
 def cmd_codec_roundtrip(args) -> None:
@@ -545,6 +787,16 @@ def main(argv=None) -> None:
     p.add_argument("--out-dir", default="./test_wav")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--bf16", action="store_true", help="bf16 mask network (serving precision)")
+    p.add_argument(
+        "--long-utterance",
+        action="store_true",
+        help="sequence-parallel path: shard each utterance's time axis over all devices",
+    )
+    p.add_argument(
+        "--chunked-mask",
+        action="store_true",
+        help="with --long-utterance: run the mask net per time-chunk (full 1/n memory)",
+    )
     p.set_defaults(func=cmd_separate)
 
     p = sub.add_parser(
@@ -575,6 +827,26 @@ def main(argv=None) -> None:
     p.add_argument("--wav", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(func=cmd_codec_roundtrip)
+
+    p = sub.add_parser("prior-train", help="train a CodePrior over t3tok codec codes")
+    p.add_argument("--config")
+    p.add_argument("--codec-dir", default=None, help="t3tok codec checkpoint dir")
+    p.add_argument("--data-root")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--seq-len", type=int)
+    p.add_argument("--checkpoint-dir", default="./PRIOR")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(func=cmd_prior_train)
+
+    p = sub.add_parser("prior-sample", help="sample the prior → decode → wav")
+    p.add_argument("--prior-dir", default="./PRIOR")
+    p.add_argument("--codec-dir", default=None, help="defaults to the prior's codec_dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_prior_sample)
 
     args = parser.parse_args(argv)
     if args.command == "train" and args.variant is None:

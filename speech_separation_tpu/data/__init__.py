@@ -6,10 +6,11 @@ from .datasets import (
     WaveformBatch,
     WaveformLoader,
     load_tfrecord_spectrograms,
+    background_iterator,
     prefetch_to_device,
 )
 from .features import FeatureConfig, generate_librimix, generate_split, max_length, utterance_names
-from .fixture import make_synthetic_fixture
+from .fixture import make_synthetic_fixture, make_synthetic_librimix
 from .speaker_info import load_speaker_genders, mixture_genders
 from .tfrecord import (
     build_sequence_example,
@@ -30,6 +31,7 @@ __all__ = [
     "WaveformBatch",
     "WaveformLoader",
     "load_tfrecord_spectrograms",
+    "background_iterator",
     "prefetch_to_device",
     "FeatureConfig",
     "generate_split",
@@ -41,6 +43,7 @@ __all__ = [
     "read_tfrecord_file",
     "write_tfrecord_file",
     "make_synthetic_fixture",
+    "make_synthetic_librimix",
     "load_speaker_genders",
     "mixture_genders",
 ]

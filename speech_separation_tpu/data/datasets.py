@@ -46,6 +46,7 @@ __all__ = [
     "WaveformLoader",
     "VaeLoader",
     "load_tfrecord_spectrograms",
+    "background_iterator",
     "prefetch_to_device",
 ]
 
@@ -89,6 +90,7 @@ class WaveformLoader:
     stft_shift: int = 128
     num_speakers: int = 2
     pad_quantum_seconds: float = 1.0
+    pad_quantum_samples: int | None = None  # overrides pad_quantum_seconds
     shuffle: bool = False
     seed: int = 0
     drop_remainder: bool = False
@@ -160,7 +162,9 @@ class WaveformLoader:
                 order = np.concatenate(groups)
             else:
                 order = rng.permutation(order)
-        quantum = max(1, int(self.pad_quantum_seconds * self.sample_rate))
+        quantum = self.pad_quantum_samples or max(
+            1, int(self.pad_quantum_seconds * self.sample_rate)
+        )
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if self.drop_remainder and len(idx) < self.batch_size:
@@ -308,8 +312,43 @@ class VaeLoader:
             yield VaeBatch(inputs, targets, lengths, names)
 
 
-def prefetch_to_device(iterator, size: int = 2):
-    """Double-buffered transfer: keep ``size`` batches in flight on device."""
+def background_iterator(iterator, depth: int = 2):
+    """Run ``iterator`` in a daemon worker thread, buffering up to ``depth``
+    items: host-side work (wav decode, pad, stack) for batch N+1 proceeds
+    while batch N trains. Order is preserved; worker exceptions re-raise at
+    the consumer."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def _worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # surfaced on the consumer side
+            error.append(exc)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=_worker, daemon=True, name="decode-prefetch").start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
+def prefetch_to_device(iterator, size: int = 2, decode_ahead: bool = True):
+    """Overlapped host→device feeding: decode ahead in a worker thread
+    (``decode_ahead``) and keep ``size`` transferred batches in flight on
+    device (double buffering). The reference only overlapped the *transfer*
+    (`uPIT cells 19-21` prefetch(AUTOTUNE)) — here decode overlaps compute
+    too, which is what matters once the corpus outgrows the page cache."""
     import collections
 
     queue = collections.deque()
@@ -319,6 +358,8 @@ def prefetch_to_device(iterator, size: int = 2):
             lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, batch
         )
 
+    if decode_ahead:
+        iterator = background_iterator(iterator, depth=size)
     for batch in iterator:
         queue.append(_put(batch))
         if len(queue) >= size:

@@ -160,8 +160,13 @@ def generate_split(
     cfg: FeatureConfig = FeatureConfig(),
     max_workers: int = 8,
     max_len: int | None = None,
+    progress_every: int = 0,
 ) -> list[pathlib.Path]:
-    """Write one TFRecord per utterance (per source in ``signal`` mode)."""
+    """Write one TFRecord per utterance (per source in ``signal`` mode).
+
+    ``progress_every=N`` prints a progress line every N utterances (the
+    reference's ``_single`` converter used tqdm — `parallel_stft_single.py`).
+    """
     split_dir = pathlib.Path(split_dir)
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -174,11 +179,13 @@ def generate_split(
         futures = [
             pool.submit(_encode_utterance, split_dir, name, cfg, max_len) for name in names
         ]
-        for future in futures:
+        for i, future in enumerate(futures, 1):
             for stem, example in future.result():
                 path = out_dir / f"{stem}.tfrecords"
                 write_tfrecord_file(path, [example])
                 written.append(path)
+            if progress_every and (i % progress_every == 0 or i == len(futures)):
+                print(f"{split_dir}: {i}/{len(futures)} utterances", flush=True)
     return written
 
 
@@ -191,6 +198,7 @@ def generate_librimix(
     cfg: FeatureConfig = FeatureConfig(mix_dirname="mix_clean"),
     max_workers: int = 8,
     max_lens: dict[str, int] | None = None,
+    progress_every: int = 0,
 ) -> dict[str, int]:
     """Bulk conversion of a Libri2Mix directory tree.
 
@@ -222,7 +230,8 @@ def generate_librimix(
     with concurrent.futures.ThreadPoolExecutor(max_workers=max(1, len(jobs))) as pool:
         futures = {
             pool.submit(
-                generate_split, split_dir, out_dir, cfg, max_workers, max_len
+                generate_split, split_dir, out_dir, cfg, max_workers, max_len,
+                progress_every,
             ): split_dir
             for split_dir, out_dir, max_len in jobs
         }

@@ -2,7 +2,8 @@ from .blstm import BiLSTM, LSTM
 from .tasnet import ConvTasNet
 from .upit import UPitBlstm, UPitConv
 from .vq import GumbelSoftmax, VectorQuantizer, gumbel_softmax, nearest_code_indices
-from .vqvae import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
+from .relpos import CodePrior, RelativeSelfAttention
+from .vqvae import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3, VqVaeT3Tok
 
 __all__ = [
     "LSTM",
@@ -18,4 +19,7 @@ __all__ = [
     "VqVaeGumbel",
     "VqVaeT2",
     "VqVaeT3",
+    "VqVaeT3Tok",
+    "CodePrior",
+    "RelativeSelfAttention",
 ]

@@ -23,7 +23,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gumbel_softmax", "GumbelSoftmax", "VectorQuantizer", "nearest_code_indices"]
+__all__ = [
+    "gumbel_softmax",
+    "GumbelSoftmax",
+    "VectorQuantizer",
+    "ResidualVectorQuantizer",
+    "nearest_code_indices",
+]
 
 
 def gumbel_softmax(
@@ -83,15 +89,19 @@ class VectorQuantizer(nn.Module):
     embedding_dim: int
     beta: float = 0.25
     use_pallas: bool = False
+    init_scale: float = 0.05  # reference: TF random_uniform_initializer default
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        def _uniform_pm05(key, shape, dtype=jnp.float32):
-            # TF random_uniform_initializer default: U(−0.05, 0.05)
-            return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+        def _uniform_init(key, shape, dtype=jnp.float32):
+            # U(−init_scale, init_scale); the reference's ±0.05 default is
+            # kept for parity models, but encoders with tanh-range (±1)
+            # outputs need a matched spread or most codes never win a
+            # nearest-neighbour assignment and the codebook collapses
+            return jax.random.uniform(key, shape, dtype, -self.init_scale, self.init_scale)
 
         codebook = self.param(
-            "embeddings", _uniform_pm05, (self.embedding_dim, self.num_embeddings)
+            "embeddings", _uniform_init, (self.embedding_dim, self.num_embeddings)
         )
 
         flat = x.reshape(-1, self.embedding_dim)
@@ -109,3 +119,101 @@ class VectorQuantizer(nn.Module):
     def lookup(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
         """Decode code indices ``[...]`` → embeddings ``[..., D]``."""
         return codebook.T[indices]
+
+
+class ResidualVectorQuantizer(nn.Module):
+    """Multi-stage residual VQ with optional product quantization.
+
+    Stage ``d`` quantizes the residual left by stages ``< d`` (SoundStream/
+    EnCodec-style cascade); within each stage the ``embedding_dim`` vector is
+    split into ``pq`` sub-vectors, each with its own codebook (product
+    quantization). The decoder consumes ``Σ_d q_d``. A position therefore
+    carries ``depth · pq · log2(num_embeddings)`` bits — a single codebook's
+    ~9 bits is what limits reconstruction when the latent (e.g. a U-skip)
+    holds most of the signal. Gradients: the encoder receives the
+    straight-through gradient of the *summed* quantization plus a commitment
+    pull at every stage; each codebook trains toward its own stage's
+    residuals (reference VQ loss structure, `vq-vae_for_1d_data_2.ipynb
+    cell 13`, applied per stage/sub-vector).
+
+    ``__call__`` returns ``(quantized, aux_loss)``; ``codes``/``lookup``
+    expose the index streams ``[..., depth · pq]`` (stage-major).
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    depth: int = 2
+    pq: int = 1
+    beta: float = 0.25
+    init_scale: float = 0.5
+
+    @property
+    def num_streams(self) -> int:
+        return self.depth * self.pq
+
+    def setup(self):
+        if self.embedding_dim % self.pq:
+            raise ValueError(f"embedding_dim {self.embedding_dim} % pq {self.pq} != 0")
+
+        def _uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -self.init_scale, self.init_scale)
+
+        self.embeddings = self.param(
+            "embeddings",
+            _uniform_init,
+            (self.depth, self.pq, self.embedding_dim // self.pq, self.num_embeddings),
+        )
+
+    def _quantize_stage(self, residual: jnp.ndarray, d: int):
+        """Nearest codes per PQ sub-vector: ``[N, D]`` → (q ``[N, D]``,
+        indices ``[N, pq]``)."""
+        sub = self.embedding_dim // self.pq
+        parts, idxs = [], []
+        for g in range(self.pq):
+            chunk = residual[:, g * sub : (g + 1) * sub]
+            indices = nearest_code_indices(chunk, self.embeddings[d, g])
+            parts.append(self.embeddings[d, g].T[indices])
+            idxs.append(indices)
+        return jnp.concatenate(parts, axis=1), jnp.stack(idxs, axis=-1)
+
+    def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        flat = x.reshape(-1, self.embedding_dim)
+        residual = flat
+        q_sum = jnp.zeros_like(flat)
+        aux = jnp.zeros(())
+        for d in range(self.depth):
+            q_d, _ = self._quantize_stage(jax.lax.stop_gradient(residual), d)
+            commitment = self.beta * jnp.mean(
+                jnp.square(jax.lax.stop_gradient(q_d) - residual)
+            )
+            codebook_loss = jnp.mean(jnp.square(q_d - jax.lax.stop_gradient(residual)))
+            aux = aux + 0.5 * (commitment + codebook_loss)
+            residual = residual - jax.lax.stop_gradient(q_d)
+            q_sum = q_sum + jax.lax.stop_gradient(q_d)
+        out = flat + jax.lax.stop_gradient(q_sum - flat)  # straight-through
+        return out.reshape(x.shape), aux
+
+    def codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Indices ``[..., depth · pq]`` (stage-major) for latents ``[..., D]``."""
+        flat = x.reshape(-1, self.embedding_dim)
+        residual = flat
+        out = []
+        for d in range(self.depth):
+            q_d, idx = self._quantize_stage(residual, d)
+            out.append(idx)  # [N, pq]
+            residual = residual - q_d
+        stacked = jnp.concatenate(out, axis=-1)  # [N, depth*pq]
+        return stacked.reshape(*x.shape[:-1], self.num_streams)
+
+    @staticmethod
+    def lookup(codebooks: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+        """``codebooks [depth, pq, D/pq, K]``, ``indices [..., depth·pq]``
+        (stage-major) → ``[..., D]``."""
+        depth, pq = codebooks.shape[0], codebooks.shape[1]
+        total = 0
+        for d in range(depth):
+            parts = [
+                codebooks[d, g].T[indices[..., d * pq + g]] for g in range(pq)
+            ]
+            total = total + jnp.concatenate(parts, axis=-1)
+        return total

@@ -32,9 +32,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .vq import GumbelSoftmax, VectorQuantizer, nearest_code_indices
+from .vq import (
+    GumbelSoftmax,
+    ResidualVectorQuantizer,
+    VectorQuantizer,
+    nearest_code_indices,
+)
 
-__all__ = ["VqVaeGumbel", "VqVaeCodebook", "VqVaeT2", "VqVaeT3"]
+__all__ = ["VqVaeGumbel", "VqVaeCodebook", "VqVaeT2", "VqVaeT3", "VqVaeT3Tok"]
 
 
 class _ConvStack(nn.Module):
@@ -212,3 +217,88 @@ class VqVaeT3(nn.Module):
         q1 = VectorQuantizer.lookup(cb, indices)
         d2 = nn.relu(self.decoder2(nn.relu(self.decoder1(q1))))
         return self.decoder3(jnp.concatenate([e1, d2], axis=-1))
+
+
+class VqVaeT3Tok(nn.Module):
+    """Tokenizer-grade t3: the e1 U-skip is itself quantized, so the code
+    streams *fully determine* the reconstruction — the property the
+    reference's transformer-prior sketch needs from its codec
+    (`vq-vae_for_1d_data.ipynb cell 24` "transformer input",
+    `Untitled.ipynb cells 1-4`) but its t3 topology lacks (the `_t3 cell 22`
+    skip feeds raw encoder activations to the decoder).
+
+    Both levels use residual VQ cascades (:class:`ResidualVectorQuantizer`)
+    — quantizing the skip with a single codebook caps it at ~9 bits/position,
+    which measured out at ~15 dB reconstruction; stacking stages recovers the
+    bits the skip needs. Streams: ``codes_deep [B, K/8, deep_depth]`` from
+    the 3-level bottleneck and ``codes_skip [B, K/2, skip_depth]`` from the
+    quantized skip (the two-level-VQ move of `vq-vae_for_1d_data_2.ipynb
+    cell 18`, applied per residual stage). ``decode_codes(*codes(x))``
+    reproduces ``__call__``'s reconstruction (to XLA fusion precision)
+    because the decoder consumes only quantized latents.
+    """
+
+    embedding_dim: int = 64
+    num_embeddings: int = 512
+    skip_embeddings: int = 512
+    deep_depth: int = 2
+    skip_depth: int = 2
+    skip_pq: int = 2  # product-quantization sub-vectors per skip stage
+    frame_size: int = 40
+    vq_init_scale: float = 0.5  # tanh-range encoders; ±0.05 collapses usage
+
+    def setup(self):
+        self.encoder1 = nn.Conv(128, (4,), strides=(2,), padding="SAME", name="encoder1")
+        self.encoder2 = nn.Conv(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="encoder2")
+        self.encoder3 = nn.Conv(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="encoder3")
+        self.quantize1 = ResidualVectorQuantizer(
+            self.num_embeddings,
+            self.embedding_dim,
+            depth=self.deep_depth,
+            init_scale=self.vq_init_scale,
+            name="vq1",
+        )
+        self.skip_proj = nn.Conv(self.embedding_dim, (1,), padding="SAME", name="skip_proj")
+        self.quantize2 = ResidualVectorQuantizer(
+            self.skip_embeddings,
+            self.embedding_dim,
+            depth=self.skip_depth,
+            pq=self.skip_pq,
+            init_scale=self.vq_init_scale,
+            name="vq2",
+        )
+        self.skip_expand = nn.Conv(128, (1,), padding="SAME", name="skip_expand")
+        self.decoder1 = nn.ConvTranspose(self.embedding_dim, (4,), strides=(2,), padding="SAME", name="decoder1")
+        self.decoder2 = nn.ConvTranspose(128, (4,), strides=(2,), padding="SAME", name="decoder2")
+        self.decoder3 = nn.ConvTranspose(self.frame_size, (4,), strides=(2,), padding="SAME", name="decoder3")
+
+    def _encode(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        e1 = nn.tanh(self.encoder1(x))  # [B, K/2, 128]
+        e2 = nn.tanh(self.encoder2(e1))  # [B, K/4, 64]
+        e3 = nn.tanh(self.encoder3(e2))  # [B, K/8, 64]
+        skip = nn.tanh(self.skip_proj(e1))  # [B, K/2, 64]
+        return skip, e3
+
+    def _decode(self, q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+        d1 = nn.relu(self.decoder1(q1))  # [B, K/4, 64]
+        d2 = nn.relu(self.decoder2(d1))  # [B, K/2, 128]
+        s = nn.relu(self.skip_expand(q2))  # [B, K/2, 128]
+        return self.decoder3(jnp.concatenate([s, d2], axis=-1))  # [B, K, 40]
+
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+        del deterministic
+        skip, e3 = self._encode(x)
+        q1, aux1 = self.quantize1(e3)
+        q2, aux2 = self.quantize2(skip)
+        return self._decode(q1, q2), [aux1, aux2]
+
+    def codes(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Tokenise: ``(codes_deep [B, K/8, d1], codes_skip [B, K/2, d2·pq])``."""
+        skip, e3 = self._encode(x)
+        return self.quantize1.codes(e3), self.quantize2.codes(skip)
+
+    def decode_codes(self, codes_deep: jnp.ndarray, codes_skip: jnp.ndarray) -> jnp.ndarray:
+        """Waveform frames from the two code streams alone (no encoder)."""
+        q1 = ResidualVectorQuantizer.lookup(self.quantize1.embeddings, codes_deep)
+        q2 = ResidualVectorQuantizer.lookup(self.quantize2.embeddings, codes_skip)
+        return self._decode(q1, q2)

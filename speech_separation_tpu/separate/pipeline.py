@@ -32,8 +32,10 @@ from ..ops.stft import istft, stft
 __all__ = [
     "make_separate_fn",
     "make_separate_from_spectrogram_fn",
+    "make_long_separate_fn",
     "separated_length",
     "separate_directory",
+    "separate_long_directory",
     "separate_from_records",
 ]
 
@@ -110,6 +112,128 @@ def make_separate_from_spectrogram_fn(
         return jnp.stack(wavs, axis=1)
 
     return separate
+
+
+def make_long_separate_fn(
+    model,
+    mesh,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    axis: str = "model",
+    chunked_mask: bool = False,
+) -> Callable:
+    """Sequence-parallel separation for utterances beyond one chip's comfort.
+
+    The waveform's *time axis* is sharded over ``mesh[axis]``: analysis and
+    synthesis run as halo-exchange shards (``parallel.sequence``), so the
+    STFT, masking, phase-reapply and overlap-add memory all scale 1/n per
+    device. Two mask-net modes:
+
+    - ``chunked_mask=False`` (default): the mask network runs over the full
+      frame sequence (XLA gathers it), so the output is *identical* to the
+      same computation on one device — pinned in
+      ``tests/test_sequence_parallel.py``;
+    - ``chunked_mask=True``: the mask network runs independently per time
+      chunk inside ``shard_map`` — full 1/n activation scaling; recurrent
+      mask nets (BLSTM) see chunk-local context, so outputs differ near
+      chunk boundaries (framewise nets are exact).
+
+    Input samples must divide by ``mesh.shape[axis] * shift``; the returned
+    ``separate(params, mix) -> [B, S, samples]`` reconstructs everything but
+    the leading ``size − shift`` no-fade edge.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sequence import sharded_istft, sharded_stft
+
+    bins = size // 2 + 1
+
+    def _mask_apply(params, flat):  # [B, F, 2*bins] → [B, S, F, 2*bins]
+        re, im = flat[..., :bins], flat[..., bins:]
+        mag = jnp.sqrt(re * re + im * im)
+        safe = jnp.maximum(mag, 1e-30)
+        cos, sin = re / safe, im / safe
+        preds = model.apply({"params": params}, mag, deterministic=True)
+        outs = []
+        for s in range(num_speakers):
+            est = preds[..., s * bins : (s + 1) * bins]
+            outs.append(jnp.concatenate([est * cos, est * sin], axis=-1))
+        return jnp.stack(outs, axis=1)
+
+    @jax.jit
+    def separate(params, mix):
+        flat = sharded_stft(mesh, mix, size, shift, axis=axis)
+        if chunked_mask:
+            masked = jax.shard_map(
+                _mask_apply,
+                mesh=mesh,
+                in_specs=(P(), P(None, axis, None)),
+                out_specs=P(None, None, axis, None),
+                check_vma=False,
+            )(params, flat)
+        else:
+            masked = _mask_apply(params, flat)
+        b, f = mix.shape[0], flat.shape[1]
+        merged = masked.reshape(b * num_speakers, f, 2 * bins)
+        wavs = sharded_istft(mesh, merged, size, shift, axis=axis)
+        return wavs.reshape(b, num_speakers, -1)
+
+    return separate
+
+
+def separate_long_directory(
+    model,
+    params,
+    mesh,
+    split_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    sample_rate: int = 8000,
+    normalize: bool = True,
+    axis: str = "model",
+    chunked_mask: bool = False,
+) -> list[pathlib.Path]:
+    """Sequence-parallel variant of :func:`separate_directory`.
+
+    Processes one utterance at a time (long-utterance regime), padding each
+    to a multiple of ``n_dev · shift`` and trimming back to the true length.
+    """
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_dev = mesh.shape[axis]
+    loader = WaveformLoader(
+        split_dir,
+        batch_size=1,
+        sample_rate=sample_rate,
+        stft_size=size,
+        stft_shift=shift,
+        num_speakers=num_speakers,
+        pad_quantum_samples=n_dev * shift,
+    )
+    separate = make_long_separate_fn(
+        model, mesh, size, shift, num_speakers, axis=axis, chunked_mask=chunked_mask
+    )
+    written: list[pathlib.Path] = []
+    for batch in prefetch_to_device(iter(loader)):
+        wavs = np.asarray(separate(params, jnp.asarray(batch.mix)))
+        for i, name in enumerate(batch.names):
+            stem = pathlib.Path(name).stem
+            true_len = int(batch.sample_lengths[i])
+            for s in range(num_speakers):
+                path = out_dir / f"{stem}_s{s + 1}.wav"
+                audiowrite(
+                    wavs[i, s, :true_len],
+                    path,
+                    samplerate=sample_rate,
+                    normalize=normalize,
+                    threaded=True,
+                )
+                written.append(path)
+    wait_for_pending_writes()
+    return written
 
 
 def separate_from_records(

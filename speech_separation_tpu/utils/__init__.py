@@ -1,5 +1,6 @@
 from .config import (
     EvaluateConfig,
+    PriorTrainConfig,
     MeshConfig,
     PrepareDataConfig,
     SeparateConfig,
@@ -13,6 +14,7 @@ from .profiling import MetricsLogger, StepTimer, device_memory_stats, trace
 
 __all__ = [
     "EvaluateConfig",
+    "PriorTrainConfig",
     "MeshConfig",
     "PrepareDataConfig",
     "SeparateConfig",

@@ -19,6 +19,7 @@ __all__ = [
     "MeshConfig",
     "UPitTrainConfig",
     "VaeTrainConfig",
+    "PriorTrainConfig",
     "SeparateConfig",
     "EvaluateConfig",
     "PrepareDataConfig",
@@ -58,6 +59,7 @@ class UPitTrainConfig:
     learning_rate: float = 1e-3
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
+    bf16_compute: bool = False  # blstm: mixed-precision train step
     frame_size: int = 40  # conv variant
     tasnet_enc_dim: int = 256  # tasnet variant
     tasnet_bottleneck: int = 128
@@ -75,7 +77,7 @@ class VaeTrainConfig:
     data_root: str = "./mycode/wsj0_2mix/use_this"
     train_split: str = "tr"
     val_split: str = "cv"
-    variant: str = "t3"  # gumbel | v2 | t2 | t3
+    variant: str = "t3"  # gumbel | v2 | t2 | t3 | t3tok
     source: str = "s1"
     batch_size: int = 2
     epochs: int = 5
@@ -83,10 +85,36 @@ class VaeTrainConfig:
     latent_dim: int = 1024  # gumbel variant
     embedding_dim: int = 64
     num_embeddings: int = 512
+    skip_embeddings: int = 512  # t3tok variant: second VQ over the U-skip
+    deep_depth: int = 2  # t3tok: residual-VQ stages on the bottleneck
+    skip_depth: int = 2  # t3tok: residual-VQ stages on the skip
+    skip_pq: int = 2  # t3tok: product-quantization sub-vectors per skip stage
     learning_rate: float = 1e-3
     checkpoint_dir: str = "./CKPT"
     seed: int = 42
     sample_rate: int = 8000
+
+
+@dataclass(frozen=True)
+class PriorTrainConfig:
+    """Autoregressive CodePrior over a trained tokenizer codec's codes."""
+
+    codec_dir: str = "./CKPT"
+    data_root: str = "./mycode/wsj0_2mix/use_this"
+    train_split: str = "tr"
+    val_split: str = "cv"
+    source: str = "s1"
+    seq_len: int = 160  # tokens; must be a multiple of the group size (5)
+    batch_size: int = 8
+    epochs: int = 10
+    patience: int = 50
+    dim: int = 128
+    depth: int = 2
+    num_heads: int = 4
+    max_distance: int = 16
+    learning_rate: float = 3e-4
+    checkpoint_dir: str = "./PRIOR"
+    seed: int = 42
 
 
 @dataclass(frozen=True)

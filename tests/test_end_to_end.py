@@ -132,6 +132,38 @@ def test_committed_tasnet_artifacts(reference_root):
     assert si > 33.0  # measured 35.41 dB
 
 
+def test_committed_tokenizer_artifacts(reference_root):
+    """Pins the committed tokenizer workflow outputs (produced on TPU by
+    scripts/tokenizer_quality_run.py + the prior CLI): the decoded wav came
+    from codes ALONE (t3tok has no raw skip) and must score ≥24 dB against
+    the original; the prior sample must be speech-like audio, not noise or
+    silence."""
+    import pathlib
+
+    from speech_separation_tpu.data.audio_io import read_normalized, read_wav
+    from speech_separation_tpu.metrics import si_sdr_np
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "tokenizer"
+    if not art.exists():
+        pytest.skip("artifacts not present")
+    orig = read_normalized(
+        reference_root
+        / "mycode/wsj0_2mix/use_this/tt/s1/447o0302_0.62948_441c0212_-0.62948.wav",
+        8000,
+    )
+    dec, sr = read_wav(art / "decoded.wav")
+    n = min(orig.size, dec.size)
+    assert sr == 8000
+    assert si_sdr_np(orig[:n], dec[:n]) > 24.0  # measured 25.92
+
+    sample, sr = read_wav(art / "prior_sample.wav")
+    assert sr == 8000 and sample.size == 16000
+    rms = float(np.sqrt(np.mean(sample**2)))
+    assert rms > 0.01  # not silence
+    zc_per_s = float(((sample[1:] * sample[:-1]) < 0).sum()) / 2.0
+    assert 100 < zc_per_s < 2000  # voiced-speech-like, not white noise
+
+
 def test_si_sdri_on_artifacts(reference_root):
     import pathlib
 

@@ -77,3 +77,19 @@ def test_conv_tasnet_trains():
     last = float(eval_step(state, mix, sources, lengths))
     # loss is negative SI-SDR (dB): must improve markedly on separable tones
     assert last < first - 3.0
+
+
+def test_conv_tasnet_bf16_serving_close_to_fp32():
+    """bf16 compute dtype (serving precision) must track fp32 outputs:
+    the gLN statistics stay fp32, so masks shift only at bf16 rounding."""
+    model = ConvTasNet(**TINY)
+    gen = np.random.default_rng(2)
+    mix = jnp.asarray(gen.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    params = model.init(jax.random.key(0), mix)["params"]
+    fp32 = model.apply({"params": params}, mix)
+    bf16 = model.clone(dtype=jnp.bfloat16).apply({"params": params}, mix)
+    assert bf16.dtype == jnp.float32  # output cast back
+    # relative output error small vs signal scale
+    denom = float(jnp.sqrt(jnp.mean(fp32**2))) + 1e-12
+    rel = float(jnp.sqrt(jnp.mean((bf16 - fp32) ** 2))) / denom
+    assert rel < 0.1, rel
