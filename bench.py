@@ -8,7 +8,9 @@ The reference publishes no throughput numbers (its notebooks are toy runs);
 ``BASELINE.json``'s north star is ≥100× real time per chip, so
 ``vs_baseline = value / 100``.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line. The headline metric is the bf16 BLSTM
+pipeline; the ``extra`` field carries the fp32 BLSTM number (precision
+context) and the Conv-TasNet serving number (the best-quality model).
 """
 
 import json
@@ -17,7 +19,19 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _chained_timer(fn, first_arg, iters, extract):
+    """Serialize iterations via a data dependency (feed output back as
+    input) so async runtimes can't overlap or lazily defer the work, and
+    finish with a host fetch. Returns elapsed seconds."""
+    cur = first_arg
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cur = extract(fn(cur))
+    np.asarray(cur[0, :8])  # tiny fetch forces completion
+    return time.perf_counter() - t0
+
+
+def bench_blstm(compute_dtype=None, batch=128, seconds=8, iters=10):
     import jax
     import jax.numpy as jnp
 
@@ -26,7 +40,6 @@ def main() -> None:
     from speech_separation_tpu.ops.stft import istft, stft
 
     sample_rate = 8000
-    batch, seconds = 128, 8
     samples = sample_rate * seconds
     size, shift, num_speakers = 256, 128, 2
 
@@ -34,15 +47,15 @@ def main() -> None:
     params = model.init(jax.random.key(0), jnp.zeros((1, 8, 129)))["params"]
 
     @jax.jit
-    def separate(params, mix):
+    def separate(mix):
         spec = stft(mix, size, shift)
         mag, cos, sin = magnitude_angle(spec)
-        # bf16 mask network (serving precision; DSP stays fp32 — see
-        # RESULTS.md for the ≤0.5% output delta measurement)
-        bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        preds = model.apply(
-            {"params": bf16_params}, mag.astype(jnp.bfloat16), deterministic=True
-        ).astype(jnp.float32)
+        p = params
+        net_in = mag
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+            net_in = mag.astype(compute_dtype)
+        preds = model.apply({"params": p}, net_in, deterministic=True).astype(jnp.float32)
         f = mag.shape[-1]
         wavs = []
         for s in range(num_speakers):
@@ -53,31 +66,57 @@ def main() -> None:
     mix = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, samples)).astype(np.float32) * 0.1
     )
+    extract = lambda out: out[:, 0, :]
+    _chained_timer(separate, mix, 2, extract)  # warmup / compile
+    elapsed = _chained_timer(separate, mix, iters, extract)
+    return batch * seconds * iters / elapsed
 
-    def run_chained(iters: int) -> float:
-        """Serialize iterations via a data dependency (feed output back as
-        input) so async runtimes can't overlap or lazily defer the work, and
-        finish with a host fetch. Returns elapsed seconds."""
-        cur = mix
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            cur = separate(params, cur)[:, 0, :]
-        np.asarray(cur[0, :8])  # tiny fetch forces completion
-        return time.perf_counter() - t0
 
-    run_chained(2)  # warmup / compile
-    iters = 10
-    elapsed = run_chained(iters)
+def bench_tasnet(batch=32, seconds=8, iters=5):
+    """Conv-TasNet serving: bf16 convs (gLN stats fp32), batch-tuned."""
+    import jax
+    import jax.numpy as jnp
 
-    audio_seconds = batch * seconds * iters
-    x_realtime = audio_seconds / elapsed
+    from speech_separation_tpu.models import ConvTasNet
+
+    sample_rate = 8000
+    samples = sample_rate * seconds
+
+    model = ConvTasNet(dtype=jnp.bfloat16)
+    mix0 = jnp.zeros((batch, samples))
+    params = model.init(jax.random.key(0), mix0)["params"]
+
+    @jax.jit
+    def separate(mix):
+        return model.apply({"params": params}, mix)
+
+    mix = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, samples)).astype(np.float32) * 0.1
+    )
+    extract = lambda out: out[:, 0, :]
+    _chained_timer(separate, mix, 2, extract)
+    elapsed = _chained_timer(separate, mix, iters, extract)
+    return batch * seconds * iters / elapsed
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    blstm_bf16 = bench_blstm(compute_dtype=jnp.bfloat16)
+    blstm_fp32 = bench_blstm(compute_dtype=None)
+    tasnet_bf16 = bench_tasnet()
+
     print(
         json.dumps(
             {
                 "metric": "separation_throughput",
-                "value": round(x_realtime, 2),
+                "value": round(blstm_bf16, 2),
                 "unit": "x_realtime_per_chip",
-                "vs_baseline": round(x_realtime / 100.0, 4),
+                "vs_baseline": round(blstm_bf16 / 100.0, 4),
+                "extra": {
+                    "blstm_fp32_x_realtime": round(blstm_fp32, 2),
+                    "tasnet_bf16_x_realtime": round(tasnet_bf16, 2),
+                },
             }
         )
     )

@@ -37,15 +37,27 @@ def make_upit_waveform_steps(
     shift: int = 128,
     num_speakers: int = 2,
     donate_state: bool = True,
+    compute_dtype=None,
 ):
-    """Steps over (mix [B,S], sources [B,n,S], frame_lengths [B])."""
+    """Steps over (mix [B,S], sources [B,n,S], frame_lengths [B]).
+
+    ``compute_dtype=jnp.bfloat16`` runs the mask network's forward+backward
+    in bf16 (mixed precision: fp32 master weights cast inside the step, DSP
+    features, PIT loss and optimizer update stay fp32 — the gradient of the
+    cast delivers fp32 grads to Adam).
+    """
 
     def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
         feats = psm_features(mix, sources, size, shift)
         kwargs = dict(deterministic=deterministic)
         if not deterministic:
             kwargs["rngs"] = {"dropout": dropout_rng}
-        preds = model.apply({"params": params}, feats.magnitude, **kwargs)
+        net_in = feats.magnitude
+        p = params
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+            net_in = net_in.astype(compute_dtype)
+        preds = model.apply({"params": p}, net_in, **kwargs).astype(jnp.float32)
         return pit_loss(preds, feats.labels, frame_lengths, num_speakers)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
