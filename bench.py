@@ -72,8 +72,8 @@ def bench_blstm(compute_dtype=None, batch=128, seconds=8, iters=10):
     return batch * seconds * iters / elapsed
 
 
-def bench_tasnet(batch=32, seconds=8, iters=5):
-    """Conv-TasNet serving: bf16 convs (gLN stats fp32), batch-tuned."""
+def bench_tasnet(batch=64, seconds=8, iters=5, win=16):
+    """Conv-TasNet serving: bf16 convs (one-pass fp32 gLN stats)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +82,7 @@ def bench_tasnet(batch=32, seconds=8, iters=5):
     sample_rate = 8000
     samples = sample_rate * seconds
 
-    model = ConvTasNet(dtype=jnp.bfloat16)
+    model = ConvTasNet(dtype=jnp.bfloat16, win=win)
     mix0 = jnp.zeros((batch, samples))
     params = model.init(jax.random.key(0), mix0)["params"]
 
@@ -104,7 +104,8 @@ def main() -> None:
 
     blstm_bf16 = bench_blstm(compute_dtype=jnp.bfloat16)
     blstm_fp32 = bench_blstm(compute_dtype=None)
-    tasnet_bf16 = bench_tasnet()
+    tasnet_w16 = bench_tasnet(win=16)
+    tasnet_w32 = bench_tasnet(win=32)
 
     print(
         json.dumps(
@@ -115,7 +116,8 @@ def main() -> None:
                 "vs_baseline": round(blstm_bf16 / 100.0, 4),
                 "extra": {
                     "blstm_fp32_x_realtime": round(blstm_fp32, 2),
-                    "tasnet_bf16_x_realtime": round(tasnet_bf16, 2),
+                    "tasnet_bf16_win16_x_realtime": round(tasnet_w16, 2),
+                    "tasnet_bf16_win32_x_realtime": round(tasnet_w32, 2),
                 },
             }
         )

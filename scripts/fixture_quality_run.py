@@ -1,4 +1,4 @@
-"""Quality run on the reference's own benchmark: its bundled 4-utterance
+"""Quality run (optionally bf16 mixed-precision: pass "bf16" as argv[3]) on the reference's own benchmark: its bundled 4-utterance
 wsj0-2mix fixture (train == test, the reference's overfit-one-batch protocol,
 SURVEY §4). Trains the full-size uPIT BLSTM on TPU, separates `tt`, scores
 with the framework's evaluator, and appends the result to RESULTS.md.
@@ -28,6 +28,7 @@ from speech_separation_tpu.separate import separate_directory
 FIXTURE = pathlib.Path("/root/reference/mycode/wsj0_2mix/use_this")
 OUT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/fixture_run")
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+BF16 = len(sys.argv) > 3 and sys.argv[3] == "bf16"
 EVAL_EVERY = 500
 
 
@@ -40,7 +41,9 @@ def main():
     state = train.TrainState.create(
         model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
     )
-    train_step, eval_step = train.make_upit_waveform_steps(model)
+    train_step, eval_step = train.make_upit_waveform_steps(
+        model, compute_dtype=jnp.bfloat16 if BF16 else None
+    )
     args = (
         jnp.asarray(batch.mix),
         jnp.asarray(batch.sources),

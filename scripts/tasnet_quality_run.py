@@ -22,6 +22,7 @@ from speech_separation_tpu.models import ConvTasNet
 FIXTURE = pathlib.Path("/root/reference/mycode/wsj0_2mix/use_this")
 OUT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/tasnet_run")
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+WIN = int(sys.argv[3]) if len(sys.argv) > 3 else 16  # encoder window (samples)
 EVAL_EVERY = 1000
 
 
@@ -32,7 +33,7 @@ def main():
     sources = jnp.asarray(batch.sources)
     lengths = jnp.asarray(batch.sample_lengths)
 
-    model = ConvTasNet()
+    model = ConvTasNet(win=WIN)
     rng = jax.random.key(42)
     params = model.init(rng, mix)["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -38,6 +38,7 @@ def _build_upit_model_from_cfg(cfg):
         return ConvTasNet(
             num_speakers=cfg.num_speakers,
             enc_dim=cfg.tasnet_enc_dim,
+            win=cfg.tasnet_win,
             bottleneck=cfg.tasnet_bottleneck,
             hidden=cfg.tasnet_hidden,
             blocks=cfg.tasnet_blocks,

@@ -62,6 +62,7 @@ class UPitTrainConfig:
     bf16_compute: bool = False  # blstm: mixed-precision train step
     frame_size: int = 40  # conv variant
     tasnet_enc_dim: int = 256  # tasnet variant
+    tasnet_win: int = 16  # encoder window (stride = win/2); 32 ≈ 2× serving speed
     tasnet_bottleneck: int = 128
     tasnet_hidden: int = 256
     tasnet_blocks: int = 7

@@ -132,6 +132,18 @@ def test_committed_tasnet_artifacts(reference_root):
     assert si > 33.0  # measured 35.41 dB
 
 
+def test_committed_tasnet_win32_artifacts(reference_root):
+    """Pin the win=32 serving-config TasNet run (2.4× the win=16 serving
+    throughput; see RESULTS.md): quality stays in the same band."""
+    import pathlib
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "tasnet_win32_separated"
+    if not art.exists():
+        pytest.skip("artifacts not present")
+    si = eval_si_sdr(reference_root / "mycode" / "wsj0_2mix" / "use_this", art)
+    assert si > 30.0  # measured 32.65 dB
+
+
 def test_committed_tokenizer_artifacts(reference_root):
     """Pins the committed tokenizer workflow outputs (produced on TPU by
     scripts/tokenizer_quality_run.py + the prior CLI): the decoded wav came
