@@ -1,0 +1,105 @@
+"""Generalization training at corpus scale (not the 4-utterance fixture).
+
+Trains the uPIT BLSTM with `fit` (bf16 compute, decode-ahead loaders,
+metrics streaming) on the 1,700-utterance synthetic Libri2Mix-shaped
+``wav8k/min/train-360`` split produced by `scripts/data_scale_run.py`,
+validates on `dev`, then separates the held-out `test` split and scores it —
+the full production workflow at a scale the fixture can't exercise.
+
+Usage: python scripts/corpus_train_run.py [CORPUS_ROOT] [EPOCHS]
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from speech_separation_tpu import data, train
+from speech_separation_tpu.evaluate import eval_si_sdr, eval_si_sdri
+from speech_separation_tpu.models import UPitBlstm
+from speech_separation_tpu.separate import separate_directory
+from speech_separation_tpu.utils import MetricsLogger
+
+ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
+EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+BAND = ROOT / "wav8k" / "min"
+OUT = pathlib.Path("/tmp/corpus_train")
+
+
+def _alias_mix(split_dir: pathlib.Path) -> None:
+    mix = split_dir / "mix"
+    if not mix.exists():
+        os.symlink("mix_clean", mix)
+
+
+def main():
+    for split in ("train-360", "dev", "test"):
+        _alias_mix(BAND / split)
+
+    model = UPitBlstm()
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
+    state = train.TrainState.create(
+        model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
+    )
+    train_step, eval_step = train.make_upit_waveform_steps(
+        model, compute_dtype=jnp.bfloat16
+    )
+
+    def batch_arrays(b):
+        return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_lengths))
+
+    make_loader = lambda split, shuffle: data.WaveformLoader(
+        BAND / split,
+        batch_size=8,
+        shuffle=shuffle,
+        sort_by_length=True,
+        drop_remainder=shuffle,
+        seed=0,
+    )
+    OUT.mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(OUT / "metrics.jsonl")
+    t0 = time.time()
+    result = train.fit(
+        state,
+        train_step,
+        eval_step,
+        make_loader("train-360", True),
+        make_loader("dev", False),
+        batch_arrays,
+        epochs=EPOCHS,
+        metrics=logger,
+    )
+    logger.close()
+    train_s = time.time() - t0
+
+    sep_dir = OUT / "test_separated"
+    separate_directory(
+        model, result.state.params, BAND / "test", sep_dir, batch_size=8,
+        compute_dtype=jnp.bfloat16,
+    )
+    si = eval_si_sdr(BAND, sep_dir, split="test")
+    si_i = eval_si_sdri(BAND, sep_dir, split="test")
+    summary = {
+        "epochs": EPOCHS,
+        "train_utterances": 1700,
+        "history_loss": [round(x, 3) for x in result.history["loss"]],
+        "history_val_loss": [round(x, 3) for x in result.history["val_loss"]],
+        "train_wall_s": round(train_s, 1),
+        "heldout_test_si_sdr_db": round(si, 3),
+        "heldout_test_si_sdri_db": round(si_i, 3),
+    }
+    (OUT / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,8 +8,9 @@
    ``wav8k/min/train-360`` split, measuring loader-only throughput vs
    device step consumption, with and without background decode.
 
-Usage: python scripts/data_scale_run.py [WORK_DIR]
-Writes WORK_DIR/data_scale_summary.json and prints it.
+Usage: python scripts/data_scale_run.py [WORK_DIR] [skip-convert]
+Writes WORK_DIR/data_scale_summary.json and prints it. ``skip-convert``
+reuses a previous run's conversion timing (records already on disk).
 """
 
 import json
@@ -44,9 +45,14 @@ def main():
     print(json.dumps({"stage": "corpus", "wall_s": round(time.time() - t0, 1)}), flush=True)
 
     # full conversion sweep, per band (matching that band's sample rate)
+    prev_path = WORK / "data_scale_summary.json"
+    if "skip-convert" in sys.argv and prev_path.exists():
+        summary["convert"] = json.loads(prev_path.read_text())["convert"]
+        print(json.dumps({"stage": "convert (cached)", **summary["convert"]}), flush=True)
+        counts = None
     t0 = time.time()
-    counts = {}
-    for band, sr in (("wav8k", 8000), ("wav16k", 16000)):
+    counts = {} if "skip-convert" not in sys.argv or not prev_path.exists() else None
+    for band, sr in (("wav8k", 8000), ("wav16k", 16000)) if counts is not None else ():
         results = generate_librimix(
             corpus,
             bands=(band,),
@@ -57,14 +63,15 @@ def main():
             progress_every=500,
         )
         counts.update({k: v for k, v in results.items()})
-    convert_s = time.time() - t0
-    total_records = sum(counts.values())
-    summary["convert"] = {
-        "records": total_records,
-        "wall_s": round(convert_s, 1),
-        "records_per_s": round(total_records / convert_s, 1),
-    }
-    print(json.dumps({"stage": "convert", **summary["convert"]}), flush=True)
+    if counts is not None:
+        convert_s = time.time() - t0
+        total_records = sum(counts.values())
+        summary["convert"] = {
+            "records": total_records,
+            "wall_s": round(convert_s, 1),
+            "records_per_s": round(total_records / convert_s, 1),
+        }
+        print(json.dumps({"stage": "convert", **summary["convert"]}), flush=True)
 
     # training-epoch measurement on the big split
     split = corpus / "wav8k" / "min" / "train-360"
@@ -106,8 +113,13 @@ def main():
     # (b) step-only: repeat one mid-sized device batch
     model = UPitBlstm()
     rng = jax.random.key(0)
-    params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
-    state = train.TrainState.create(model.apply, params, train.exponential_decay_adam(), rng)
+    # host copy: train_step donates state buffers, so later stages must
+    # rebuild from a buffer donation can't delete
+    params = jax.device_get(model.init(rng, jnp.zeros((1, 8, 129)))["params"])
+    # fresh key per state: train_step donates the whole state incl. the rng
+    state = train.TrainState.create(
+        model.apply, params, train.exponential_decay_adam(), jax.random.key(1)
+    )
     train_step, _ = train.make_upit_waveform_steps(model)
     batch = next(iter(make_loader()))
     args = (jnp.asarray(batch.mix), jnp.asarray(batch.sources), jnp.asarray(batch.frame_lengths))
@@ -121,23 +133,36 @@ def main():
     summary["step_only"] = {"step_s": round(step_s, 4), "batch": BATCH}
     print(json.dumps({"stage": "step_only", **summary["step_only"]}), flush=True)
 
-    # (c) full epoch: decode-ahead on vs off
-    for decode_ahead in (True, False):
-        state_e = train.TrainState.create(model.apply, params, train.exponential_decay_adam(), rng)
+    # (c) full epoch: decode-ahead on vs off. The length-bucketed loader
+    # produces a handful of padded shapes, each costing one XLA compile —
+    # warm every bucket first, then time a steady-state epoch.
+    def run_epoch(decode_ahead, seed):
+        state_e = train.TrainState.create(
+            model.apply, params, train.exponential_decay_adam(), jax.random.key(seed)
+        )
         t0 = time.time()
         steps = 0
+        audio = 0.0
         for b in data.prefetch_to_device(iter(make_loader()), 2, decode_ahead=decode_ahead):
             state_e, loss = train_step(
                 state_e, jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_lengths)
             )
             steps += 1
+            audio += float(b.sample_lengths.sum()) / 8000.0
         float(loss)
-        epoch_s = time.time() - t0
+        return steps, audio, time.time() - t0
+
+    warm_steps, _, warm_s = run_epoch(True, 2)  # compiles every bucket shape
+    summary["epoch_warmup"] = {"steps": warm_steps, "wall_s": round(warm_s, 1)}
+    print(json.dumps({"stage": "epoch_warmup", **summary["epoch_warmup"]}), flush=True)
+    for decode_ahead in (True, False):
+        steps, audio, epoch_s = run_epoch(decode_ahead, 3 + int(decode_ahead))
         key = "epoch_decode_ahead" if decode_ahead else "epoch_inline_decode"
         summary[key] = {
             "steps": steps,
             "wall_s": round(epoch_s, 1),
             "s_per_step": round(epoch_s / steps, 4),
+            "audio_s_per_s": round(audio / epoch_s, 1),
         }
         print(json.dumps({"stage": key, **summary[key]}), flush=True)
 

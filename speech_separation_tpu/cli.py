@@ -71,7 +71,7 @@ def _build_vae_model(variant: str, cfg):
 
 
 def cmd_prepare_data(args) -> None:
-    from .data import FeatureConfig, generate_split
+    from .data import FeatureConfig, generate_librimix, generate_split
     from .utils import PrepareDataConfig, load_config
 
     cfg = load_config(
@@ -85,6 +85,28 @@ def cmd_prepare_data(args) -> None:
         window_shift=cfg.stft.shift,
         mode=cfg.mode,
     )
+    if args.librimix:
+        # Libri2Mix tree sweep (the reference's bulk converters,
+        # `parallel_stft_single.py:219-415`)
+        results = generate_librimix(
+            cfg.data_root,
+            out_root=args.out_root,
+            bands=tuple(args.bands.split(",")),
+            conditions=tuple(args.conditions.split(",")),
+            splits=tuple(args.librimix_splits.split(",")),
+            cfg=FeatureConfig(
+                sample_rate=cfg.stft.sample_rate,
+                window_size=cfg.stft.size,
+                window_shift=cfg.stft.shift,
+                mode=cfg.mode,
+                mix_dirname="mix_clean",
+            ),
+            max_workers=cfg.max_workers,
+            progress_every=args.progress_every,
+        )
+        for split_dir, count in sorted(results.items()):
+            print(f"{split_dir}: wrote {count} records")
+        return
     suffix = {"mixed": "", "signal": "_one_source", "raw": "_raw"}[cfg.mode]
     for split in cfg.splits:
         out_dir = pathlib.Path(cfg.out_root) / f"{split}{suffix}_tfrecord"
@@ -464,6 +486,11 @@ def cmd_codec_encode(args) -> None:
     from .tokenizer import code_metrics
 
     cfg, model, state = _restore_vae(args.checkpoint_dir)
+    if not hasattr(type(model), "codes"):
+        raise SystemExit(
+            f"error: the {cfg.variant!r} codec does not expose a code stream "
+            f"(its two VQ levels interleave mid-decoder); use gumbel, t2, t3 or t3tok"
+        )
     wav = read_normalized(args.wav, cfg.sample_rate)
     frames = _stack_frames(wav, cfg.variant)
     codes = model.apply({"params": state.params}, jnp.asarray(frames), method=type(model).codes)
@@ -768,6 +795,16 @@ def main(argv=None) -> None:
     p.add_argument("--data-root")
     p.add_argument("--out-root")
     p.add_argument("--mode", default="mixed", choices=["mixed", "signal", "raw"])
+    p.add_argument(
+        "--librimix", action="store_true",
+        help="treat data-root as a Libri2Mix tree ({band}/{condition}/{split})",
+    )
+    p.add_argument("--bands", default="wav8k", help="comma list: wav8k,wav16k")
+    p.add_argument("--conditions", default="max,min")
+    p.add_argument(
+        "--librimix-splits", default="dev,test,train-100,train-360", dest="librimix_splits"
+    )
+    p.add_argument("--progress-every", type=int, default=500)
     p.set_defaults(func=cmd_prepare_data)
 
     p = sub.add_parser("train", help="train a separator or codec")

@@ -118,3 +118,22 @@ def test_prefetch_to_device_with_decode_ahead(tmp_path):
     direct = [b.names for b in loader]
     prefetched = [b.names for b in prefetch_to_device(iter(loader), 2)]
     assert prefetched == direct
+
+
+def test_prepare_data_librimix_cli(tmp_path, capsys):
+    from speech_separation_tpu import cli
+
+    root = make_synthetic_librimix(
+        tmp_path / "c3",
+        utterances={"dev": 2},
+        bands=("wav8k",),
+        min_seconds=1.0,
+        max_seconds=1.5,
+    )
+    cli.main([
+        "prepare-data", "--librimix", "--data-root", str(root),
+        "--bands", "wav8k", "--librimix-splits", "dev",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("wrote 2 records") == 2  # max + min conditions
+    assert (root / "wav8k" / "min" / "dev" / "dev_tfrecord").is_dir()

@@ -78,3 +78,35 @@ def test_upit_dropout_active_in_training_mode():
     a = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
     b = model.apply(params, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_train_step_tracks_fp32():
+    """Mixed-precision train step (bf16 network compute, fp32 master weights)
+    must keep fp32 parameters/optimizer state and track the fp32 loss."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.ops import stft_frame_count
+
+    model = UPitBlstm(input_size=129, output_size=129, hidden=8, num_layers=1)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 4, 129)))["params"]
+    gen = np.random.default_rng(0)
+    sources = jnp.asarray(gen.standard_normal((2, 2, 4000)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    fl = jnp.full((2,), stft_frame_count(4000, 256, 128), jnp.int32)
+
+    losses = {}
+    for name, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+        state = train.TrainState.create(
+            model.apply, params, train.exponential_decay_adam(), rng
+        )
+        step, eval_step = train.make_upit_waveform_steps(
+            model, donate_state=False, compute_dtype=dtype
+        )
+        for _ in range(5):
+            state, loss = step(state, mix, sources, fl)
+        # params stay fp32 master weights
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+        losses[name] = float(eval_step(state, mix, sources, fl))
+    assert np.isfinite(losses["bf16"])
+    # same trajectory to within mixed-precision noise
+    assert abs(losses["bf16"] - losses["fp32"]) / abs(losses["fp32"]) < 0.05
