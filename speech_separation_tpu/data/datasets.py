@@ -252,6 +252,10 @@ class VaeLoader:
     ``stacked=True`` → frame-stacked ``[B, K, L]`` (RawStackForVAEGenerator,
     `_t2/_t3 cell 3`): per-utterance K rounded up to a multiple of
     ``stride_alignment`` so strided encoder/decoder pairs invert cleanly.
+    The batch K additionally rounds up to ``pad_quantum_seconds`` buckets —
+    without it every batch is a fresh XLA shape at corpus scale (the
+    4-utterance fixture never shows this; a 1,700-utterance epoch measured
+    ~1.9 s/step of recompiles vs ~5 ms of compute).
     """
 
     split_dir: str | pathlib.Path
@@ -261,6 +265,7 @@ class VaeLoader:
     stacked: bool = False
     frame_size: int = 40
     stride_alignment: int = 4
+    pad_quantum_seconds: float = 1.0
     shuffle: bool = False
     seed: int = 0
     names: list[str] = field(default_factory=list)
@@ -301,7 +306,13 @@ class VaeLoader:
                 k = math.ceil(len(w) / l)
                 k = _round_up(k, self.stride_alignment)
                 ks.append(k)
-            k_max = max(ks)
+            # bucket the batch shape: quantum in frames, kept divisible by
+            # the stride alignment so the codec's stride-2 levels still invert
+            quantum_k = _round_up(
+                max(1, int(self.pad_quantum_seconds * self.sample_rate / l)),
+                self.stride_alignment,
+            )
+            k_max = _round_up(max(ks), quantum_k)
             inputs = np.zeros((len(wavs), k_max, l), dtype=np.float32)
             targets = np.zeros((len(wavs), k_max * l, 1), dtype=np.float32)
             for i, (w, k) in enumerate(zip(wavs, ks)):

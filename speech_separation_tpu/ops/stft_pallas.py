@@ -181,7 +181,7 @@ def _stft_pallas_padded(
             num_scalar_prefetch=0,
             grid=(b, num_tiles),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # whole signal stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # whole signal stays in HBM
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # DFT basis, replicated
             ],
             out_specs=pl.BlockSpec(

@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from speech_separation_tpu.models import VectorQuantizer
@@ -65,3 +66,38 @@ def test_vector_quantizer_pallas_path_matches_xla():
     qp, ap = vq_p.apply(params, x)
     np.testing.assert_allclose(np.asarray(qx), np.asarray(qp), atol=1e-6)
     np.testing.assert_allclose(float(ax), float(ap), rtol=1e-6)
+
+
+class TestLstmPallas:
+    def test_matches_scan_lstm(self):
+        from speech_separation_tpu.models.blstm import LSTM
+        from speech_separation_tpu.ops.lstm_pallas import lstm_pallas
+
+        model = LSTM(features=12)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 37, 7)), jnp.float32
+        )
+        params = model.init(jax.random.key(0), x)["params"]
+        want = model.apply({"params": params}, x)
+        xw = jnp.einsum("btf,fg->btg", x, params["kernel"]) + params["bias"]
+        got = lstm_pallas(
+            xw, params["recurrent_kernel"], tile_t=8, interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_upit_forward_matches_module(self):
+        from speech_separation_tpu.models import UPitBlstm
+        from speech_separation_tpu.models.upit import upit_blstm_pallas_forward
+
+        model = UPitBlstm(input_size=9, output_size=9, hidden=8, num_layers=2)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 21, 9)), jnp.float32
+        )
+        params = model.init(jax.random.key(0), x)["params"]
+        want = model.apply({"params": params}, x, deterministic=True)
+        got = upit_blstm_pallas_forward(
+            params, x, num_layers=2, compute_dtype=jnp.float32, tile_t=8,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
