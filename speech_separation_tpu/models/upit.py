@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .blstm import BiLSTM
 
-__all__ = ["UPitBlstm", "UPitConv"]
+__all__ = ["UPitBlstm", "UPitConv", "upit_blstm_pallas_forward"]
 
 
 class _MaskHeads(nn.Module):
@@ -61,6 +61,58 @@ class UPitBlstm(nn.Module):
             h = layer_cls(self.hidden, unroll=self.unroll, name=f"bilstm_{i}")(h)
             h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return _MaskHeads(self.output_size, self.num_speakers, name="heads")(h, magnitude)
+
+
+def upit_blstm_pallas_forward(
+    params,
+    magnitude: jnp.ndarray,
+    num_layers: int = 3,
+    num_speakers: int = 2,
+    compute_dtype=jnp.bfloat16,
+    tile_t: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving-only :class:`UPitBlstm` forward over the same parameter tree,
+    with each LSTM recurrence as one fused Pallas program
+    (``ops/lstm_pallas.py``) instead of a ``lax.scan``.
+
+    Equivalent to ``model.apply({"params": params}, magnitude,
+    deterministic=True)`` up to the compute dtype (pass
+    ``compute_dtype=jnp.float32`` for numerical-parity checks). Directions
+    run as two kernel launches per layer (each direction has its own
+    weights); dense layers stay XLA matmuls.
+    """
+    from ..ops.lstm_pallas import lstm_pallas
+
+    def _dense(p, x):
+        return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+    x = magnitude.astype(compute_dtype)
+    h = jnp.tanh(_dense(params["input_proj"], x))
+    for layer in range(num_layers):
+        cells = params[f"bilstm_{layer}"]["cells"]
+        outs = []
+        for d in range(2):
+            seq = h if d == 0 else h[:, ::-1]
+            xw = (
+                seq @ cells["kernel"][d].astype(seq.dtype)
+                + cells["bias"][d].astype(seq.dtype)
+            )
+            ys = lstm_pallas(
+                xw,
+                cells["recurrent_kernel"][d],
+                tile_t=tile_t,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            )
+            outs.append(ys if d == 0 else ys[:, ::-1])
+        h = jnp.concatenate(outs, axis=-1).astype(compute_dtype)
+    heads = params["heads"]
+    outs = []
+    for s in range(num_speakers):
+        mask = nn.relu(_dense(heads[f"mask_head_{s}"], h))
+        outs.append(mask * x)
+    return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
 
 
 class UPitConv(nn.Module):
