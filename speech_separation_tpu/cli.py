@@ -415,7 +415,8 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
     from .data import WaveformLoader, audiowrite, wait_for_pending_writes
 
-    if getattr(args, "bf16", False):
+    use_pallas = getattr(args, "kernel", "xla") == "pallas"
+    if getattr(args, "bf16", False) or use_pallas:
         # serving precision: convs/matmuls in bf16, gLN stats stay fp32
         model = model.clone(dtype=jnp.bfloat16)
     out_dir = pathlib.Path(args.out_dir)
@@ -426,7 +427,32 @@ def _separate_time_domain(cfg, model, state, args) -> None:
         sample_rate=cfg.stft.sample_rate,
         num_speakers=cfg.num_speakers,
     )
-    separate = jax.jit(lambda p, m: model.apply({"params": p}, m))
+    if use_pallas:
+        # fused Pallas TCN trunk (ops/tcn_pallas.py): needs samples to be a
+        # multiple of the encoder stride; pad here, trim via sample_lengths
+        from .models.tasnet_serving import pallas_apply
+
+        stride = cfg.tasnet_win // 2
+
+        def _separate(p, m):
+            pad = (-m.shape[1]) % stride
+            if pad:
+                m = jnp.pad(m, ((0, 0), (0, pad)))
+            return pallas_apply(
+                p,
+                m,
+                num_speakers=cfg.num_speakers,
+                enc_dim=cfg.tasnet_enc_dim,
+                win=cfg.tasnet_win,
+                bottleneck=cfg.tasnet_bottleneck,
+                hidden=cfg.tasnet_hidden,
+                blocks=cfg.tasnet_blocks,
+                repeats=cfg.tasnet_repeats,
+            )
+
+        separate = jax.jit(_separate)
+    else:
+        separate = jax.jit(lambda p, m: model.apply({"params": p}, m))
     written = 0
     for b in loader:
         import numpy as _np
@@ -825,6 +851,13 @@ def main(argv=None) -> None:
     p.add_argument("--out-dir", default="./test_wav")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--bf16", action="store_true", help="bf16 mask network (serving precision)")
+    p.add_argument(
+        "--kernel",
+        default="xla",
+        choices=["xla", "pallas"],
+        help="tasnet serving kernel: 'pallas' runs the TCN trunk as one fused "
+        "Pallas program (bf16, fastest on TPU; implies --bf16)",
+    )
     p.add_argument(
         "--long-utterance",
         action="store_true",
