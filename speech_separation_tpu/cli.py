@@ -394,6 +394,13 @@ def cmd_separate(args) -> None:
                           "sequence_parallel_devices": mesh.shape["model"]}))
         return
 
+    dp_mesh = None
+    if args.dp:
+        import jax
+
+        from . import parallel
+
+        dp_mesh = parallel.make_mesh(data=len(jax.devices()), model=1)
     written = separate_directory(
         model,
         state.params,
@@ -405,8 +412,12 @@ def cmd_separate(args) -> None:
         batch_size=args.batch_size or cfg.batch_size,
         sample_rate=cfg.stft.sample_rate,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        dp_mesh=dp_mesh,
     )
-    print(json.dumps({"written": len(written), "out_dir": str(args.out_dir)}))
+    out = {"written": len(written), "out_dir": str(args.out_dir)}
+    if dp_mesh is not None:
+        out["data_parallel_devices"] = dp_mesh.shape["data"]
+    print(json.dumps(out))
 
 
 def _separate_time_domain(cfg, model, state, args) -> None:
@@ -434,7 +445,7 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
         stride = cfg.tasnet_win // 2
 
-        def _separate(p, m):
+        def _base(p, m):
             pad = (-m.shape[1]) % stride
             if pad:
                 m = jnp.pad(m, ((0, 0), (0, pad)))
@@ -450,14 +461,47 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                 repeats=cfg.tasnet_repeats,
             )
 
-        separate = jax.jit(_separate)
     else:
-        separate = jax.jit(lambda p, m: model.apply({"params": p}, m))
+
+        def _base(p, m):
+            return model.apply({"params": p}, m)
+
+    dp_mesh = None
+    if getattr(args, "dp", False):
+        # data-parallel serving: each device runs the full model (XLA or the
+        # Pallas trunk) on its batch shard — gLN statistics are per-item, so
+        # the sharded output is identical to single-device
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from . import parallel
+
+        dp_mesh = parallel.make_mesh(data=len(jax.devices()), model=1)
+        params = jax.device_put(state.params, NamedSharding(dp_mesh, P()))
+        separate = jax.jit(
+            jax.shard_map(
+                _base,
+                mesh=dp_mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+    else:
+        params = state.params
+        separate = jax.jit(_base)
     written = 0
     for b in loader:
         import numpy as _np
 
-        est = _np.asarray(separate(state.params, jnp.asarray(b.mix)))
+        mix = jnp.asarray(b.mix)
+        n_real = mix.shape[0]
+        if dp_mesh is not None:
+            from .parallel.sharding import pad_batch_for_mesh, shard_batch
+
+            (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
+            (mix,) = shard_batch((mix,), dp_mesh)
+        est = _np.asarray(separate(params, mix))[:n_real]
         for i, name in enumerate(b.names):
             stem = pathlib.Path(name).stem
             n = int(b.sample_lengths[i])
@@ -471,7 +515,10 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                 )
                 written += 1
     wait_for_pending_writes()
-    print(json.dumps({"written": written, "out_dir": str(out_dir)}))
+    out = {"written": written, "out_dir": str(out_dir)}
+    if dp_mesh is not None:
+        out["data_parallel_devices"] = dp_mesh.shape["data"]
+    print(json.dumps(out))
 
 
 def cmd_evaluate(args) -> None:
@@ -857,6 +904,12 @@ def main(argv=None) -> None:
         choices=["xla", "pallas"],
         help="tasnet serving kernel: 'pallas' runs the TCN trunk as one fused "
         "Pallas program (bf16, fastest on TPU; implies --bf16)",
+    )
+    p.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel serving: shard each batch over all devices "
+        "(params replicated; output identical to single-device)",
     )
     p.add_argument(
         "--long-utterance",

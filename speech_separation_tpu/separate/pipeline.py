@@ -52,15 +52,22 @@ def make_separate_fn(
     num_speakers: int = 2,
     method: str = "matmul",
     compute_dtype=None,
+    dp_mesh=None,
 ) -> Callable:
     """Returns jitted ``separate(params, mix, frame_lengths) -> [B, S, samples]``.
 
     ``compute_dtype=jnp.bfloat16`` runs the mask-estimation network in bf16
     (params + activations cast inside the jitted program; DSP stays fp32) —
     measured +33% throughput at batch 128 with ≤0.5% relative output change.
+
+    ``dp_mesh``: a ``Mesh`` with a ``data`` axis → the batch axis is sharded
+    over it (params replicated); each device separates its slice of the batch
+    and writes its shard of the output — serving scales linearly over chips
+    with no collectives on the hot path. Batch must divide by the axis size
+    (``parallel.pad_batch_for_mesh``). Output ≡ single-device (pinned in
+    ``tests/test_parallel.py``).
     """
 
-    @jax.jit
     def separate(params, mix, frame_lengths):
         spec = stft(mix, size, shift, method=method)  # [B, T, F] complex
         mag, cos, sin = magnitude_angle(spec)
@@ -83,7 +90,17 @@ def make_separate_fn(
             wavs.append(istft(est_spec, size, shift, method=method))
         return jnp.stack(wavs, axis=1)
 
-    return separate
+    if dp_mesh is None:
+        return jax.jit(separate)
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    repl = NamedSharding(dp_mesh, P())
+    bsh = NamedSharding(dp_mesh, P("data"))
+    return jax.jit(
+        separate, in_shardings=(repl, bsh, bsh), out_shardings=bsh
+    )
 
 
 def make_separate_from_spectrogram_fn(
@@ -289,12 +306,17 @@ def separate_directory(
     normalize: bool = True,
     threaded_writes: bool = True,
     compute_dtype=None,
+    dp_mesh=None,
 ) -> list[pathlib.Path]:
     """Separate every mixture in ``split_dir/mix`` → ``out_dir/{name}_s{i}.wav``.
 
     Output naming and normalisation follow the reference's writer
     (`uPIT_baseline.ipynb cell 41`: peak-normalised int16, ``_s1``/``_s2``
     suffixes) so `evaluate` and the reference scorer both consume the result.
+
+    ``dp_mesh``: shard each batch over the mesh's ``data`` axis (multi-chip
+    data-parallel serving); ragged final batches are zero-padded to the axis
+    size and trimmed after.
     """
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -307,13 +329,27 @@ def separate_directory(
         num_speakers=num_speakers,
     )
     separate = make_separate_fn(
-        model, size, shift, num_speakers, compute_dtype=compute_dtype
+        model, size, shift, num_speakers, compute_dtype=compute_dtype, dp_mesh=dp_mesh
     )
     written: list[pathlib.Path] = []
-    for batch in prefetch_to_device(iter(loader)):
-        wavs = np.asarray(
-            separate(params, jnp.asarray(batch.mix), jnp.asarray(batch.frame_lengths))
-        )
+    if dp_mesh is not None:
+        # decode-ahead without default-device placement; pad ragged batches
+        # to the data-axis size, then place each shard on its device
+        from ..data.datasets import background_iterator
+        from ..parallel.sharding import pad_batch_for_mesh, shard_batch
+
+        batches = background_iterator(iter(loader), depth=2)
+    else:
+        batches = prefetch_to_device(iter(loader))
+    for batch in batches:
+        mix, lens = batch.mix, batch.frame_lengths
+        n_real = mix.shape[0]
+        if dp_mesh is not None:
+            (mix, lens), n_real = pad_batch_for_mesh((mix, lens), dp_mesh)
+            mix, lens = shard_batch((mix, lens), dp_mesh)
+        else:
+            mix, lens = jnp.asarray(mix), jnp.asarray(lens)
+        wavs = np.asarray(separate(params, mix, lens))[:n_real]
         for i, name in enumerate(batch.names):
             stem = pathlib.Path(name).stem
             true_len = separated_length(int(batch.frame_lengths[i]), size, shift)

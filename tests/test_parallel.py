@@ -162,3 +162,73 @@ def test_tasnet_tp_sharded_step_matches_single_device():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
     for r, g in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)
+
+
+def test_dp_serving_matches_single_device():
+    """make_separate_fn(dp_mesh=...): batch sharded over 8 devices, params
+    replicated — output identical to the single-device program."""
+    from speech_separation_tpu.separate import make_separate_fn
+
+    mdl = UPitBlstm(**SMALL)
+    params = mdl.init(jax.random.key(0), jnp.zeros((1, 4, 129)))["params"]
+    mix, _, fl = _fake_batch(b=8)
+    mix, fl = jnp.asarray(mix), jnp.asarray(fl)
+
+    ref = np.asarray(make_separate_fn(mdl)(params, mix, fl))
+
+    mesh = parallel.make_mesh()  # all 8 on data
+    sep = make_separate_fn(mdl, dp_mesh=mesh)
+    smix, sfl = parallel.shard_batch((mix, fl), mesh)
+    out = sep(params, smix, sfl)
+    # each row really lives on its own device
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_dp_tasnet_shard_map_matches_single_device():
+    """The tasnet time-domain DP path (shard_map over the data axis, as the
+    CLI builds it): per-item gLN stats make batch sharding exact."""
+    from jax.sharding import PartitionSpec as P
+
+    from speech_separation_tpu.models import ConvTasNet
+
+    model = ConvTasNet(enc_dim=32, bottleneck=16, hidden=32, blocks=2, repeats=1)
+    gen = np.random.default_rng(1)
+    mix = jnp.asarray(gen.standard_normal((8, 4000)).astype(np.float32) * 0.1)
+    params = model.init(jax.random.key(0), mix)["params"]
+
+    def base(p, m):
+        return model.apply({"params": p}, m)
+
+    ref = np.asarray(jax.jit(base)(params, mix))
+
+    mesh = parallel.make_mesh()
+    sep = jax.jit(
+        jax.shard_map(
+            base, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False,
+        )
+    )
+    (smix,) = parallel.shard_batch((mix,), mesh)
+    np.testing.assert_allclose(np.asarray(sep(params, smix)), ref, atol=1e-5)
+
+
+def test_separate_directory_dp(tmp_path, fixture_root):
+    """End-to-end DP serving over the 4-utterance fixture (ragged batch →
+    pad to the 8-device axis, trim): wav outputs ≡ the single-device run."""
+    from speech_separation_tpu.data.audio_io import read_wav
+    from speech_separation_tpu.separate import separate_directory
+
+    mdl = UPitBlstm(**SMALL)
+    params = mdl.init(jax.random.key(0), jnp.zeros((1, 4, 129)))["params"]
+
+    single = separate_directory(mdl, params, fixture_root / "tt", tmp_path / "one")
+    mesh = parallel.make_mesh()
+    multi = separate_directory(
+        mdl, params, fixture_root / "tt", tmp_path / "dp", dp_mesh=mesh
+    )
+    assert len(multi) == len(single) == 8
+    for p1 in single:
+        a, _ = read_wav(p1)
+        b, _ = read_wav(tmp_path / "dp" / p1.name)
+        np.testing.assert_allclose(a, b, atol=2e-4)
