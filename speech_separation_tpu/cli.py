@@ -168,7 +168,9 @@ def cmd_train(args) -> None:
                 )
 
         elif cfg.variant == "tasnet":
-            train_step, eval_step = train.make_time_domain_steps(model)
+            train_step, eval_step = train.make_time_domain_steps(
+                model, compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None
+            )
 
             def batch_arrays(b):
                 return (
@@ -432,11 +434,18 @@ def _separate_time_domain(cfg, model, state, args) -> None:
         model = model.clone(dtype=jnp.bfloat16)
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # --pad-quantum-seconds: round each batch's padded length up to a
+    # multiple of this (loader default 1.0 s), bounding the number of
+    # distinct compiled shapes — a fresh Pallas shape remote-compiles in
+    # minutes, so a handful of length buckets amortizes that across any
+    # corpus. Padding feeds the per-item gLN stats, so larger quanta can
+    # shift outputs at noise level (trimmed to true length either way).
     loader = WaveformLoader(
         pathlib.Path(args.data_root or cfg.data_root) / args.split,
         batch_size=args.batch_size or cfg.batch_size,
         sample_rate=cfg.stft.sample_rate,
         num_speakers=cfg.num_speakers,
+        pad_quantum_seconds=getattr(args, "pad_quantum_seconds", 1.0),
     )
     if use_pallas:
         # fused Pallas TCN trunk (ops/tcn_pallas.py): needs samples to be a
@@ -910,6 +919,13 @@ def main(argv=None) -> None:
         action="store_true",
         help="data-parallel serving: shard each batch over all devices "
         "(params replicated; output identical to single-device)",
+    )
+    p.add_argument(
+        "--pad-quantum-seconds",
+        type=float,
+        default=1.0,
+        help="round padded batch lengths up to a multiple of this, bounding "
+        "distinct compiled shapes (time-domain serving; default 1.0)",
     )
     p.add_argument(
         "--long-utterance",

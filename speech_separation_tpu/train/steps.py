@@ -145,15 +145,21 @@ def make_upit_spectrogram_steps(model, num_speakers: int = 2, donate_state: bool
     return train_step, eval_step
 
 
-def make_time_domain_steps(model, donate_state: bool = True):
+def make_time_domain_steps(model, donate_state: bool = True, compute_dtype=None):
     """Steps for wave-in/wave-out separators (ConvTasNet): negative
-    permutation-best SI-SDR objective over (mix, sources, sample_lengths)."""
+    permutation-best SI-SDR objective over (mix, sources, sample_lengths).
+
+    ``compute_dtype=jnp.bfloat16`` runs the network fwd/bwd in bf16 (fp32
+    master weights; gLN statistics stay fp32 inside the module); the SI-SDR
+    loss is computed in fp32 on the cast-back estimates.
+    """
+    net = model if compute_dtype is None else model.clone(dtype=compute_dtype)
 
     def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
         kwargs = dict(deterministic=deterministic)
         if not deterministic and dropout_rng is not None:
             kwargs["rngs"] = {"dropout": dropout_rng}
-        est = model.apply({"params": params}, mix, **kwargs)
+        est = net.apply({"params": params}, mix, **kwargs).astype(jnp.float32)
         return pit_si_sdr_loss(est, sources, sample_lengths)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())

@@ -93,3 +93,40 @@ def test_conv_tasnet_bf16_serving_close_to_fp32():
     denom = float(jnp.sqrt(jnp.mean(fp32**2))) + 1e-12
     rel = float(jnp.sqrt(jnp.mean((bf16 - fp32) ** 2))) / denom
     assert rel < 0.1, rel
+
+
+def test_time_domain_bf16_training_step_tracks_fp32():
+    """compute_dtype=bf16 training (fp32 master weights, bf16 fwd/bwd): the
+    first-step loss matches fp32 closely and the step still learns."""
+    model = ConvTasNet(**TINY)
+    t = np.arange(4000) / 8000.0
+    s1 = np.sin(2 * np.pi * 200 * t)[None] * 0.3
+    s2 = np.sin(2 * np.pi * 1500 * t)[None] * 0.3
+    sources = jnp.asarray(np.stack([s1, s2], axis=1), jnp.float32)
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([4000])
+
+    rng = jax.random.key(0)
+    params = model.init(rng, mix)["params"]
+
+    def run(compute_dtype, steps=15):
+        state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+        train_step, eval_step = train.make_time_domain_steps(
+            model, donate_state=False, compute_dtype=compute_dtype
+        )
+        first = float(eval_step(state, mix, sources, lengths))
+        for _ in range(steps):
+            state, _ = train_step(state, mix, sources, lengths)
+        return first, float(eval_step(state, mix, sources, lengths))
+
+    f32_first, f32_last = run(None)
+    bf_first, bf_last = run(jnp.bfloat16)
+    assert abs(bf_first - f32_first) < 0.5  # same starting objective
+    assert bf_last < bf_first - 1.0  # still learns
+    # master weights stay fp32 throughout
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    ts, _ = train.make_time_domain_steps(
+        model, donate_state=False, compute_dtype=jnp.bfloat16
+    )
+    new_state, _ = ts(state, mix, sources, lengths)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(new_state.params))
