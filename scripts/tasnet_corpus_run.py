@@ -1,0 +1,138 @@
+"""Conv-TasNet generalization training at corpus scale.
+
+Same protocol as `scripts/corpus_train_run.py` (BLSTM) but for the flagship
+time-domain model with this round's fast paths end to end: bf16
+mixed-precision training (`make_time_domain_steps(compute_dtype=bf16)`),
+decode-ahead length-sorted loaders, then held-out `test` separation served
+through the fused Pallas TCN trunk (`pallas_apply`) and scored with
+SI-SDR / SI-SDRi. Generates the 2,000-utterance Libri2Mix-shaped synthetic
+corpus if it's not already present.
+
+Usage: python scripts/tasnet_corpus_run.py [CORPUS_ROOT] [EPOCHS]
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from speech_separation_tpu import data, train
+from speech_separation_tpu.data import make_synthetic_librimix
+from speech_separation_tpu.data.audio_io import audiowrite
+from speech_separation_tpu.data.datasets import WaveformLoader, background_iterator
+from speech_separation_tpu.evaluate import eval_si_sdr, eval_si_sdri
+from speech_separation_tpu.models import ConvTasNet
+from speech_separation_tpu.models.tasnet_serving import pallas_apply
+from speech_separation_tpu.utils import MetricsLogger
+
+ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
+EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+BAND = ROOT / "wav8k" / "min"
+OUT = pathlib.Path("/tmp/tasnet_corpus")
+
+
+def _alias_mix(split_dir: pathlib.Path) -> None:
+    mix = split_dir / "mix"
+    if not mix.exists():
+        os.symlink("mix_clean", mix)
+
+
+def main():
+    if not ROOT.exists():
+        t0 = time.time()
+        make_synthetic_librimix(
+            ROOT,
+            utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": 1700},
+            min_seconds=2.0,
+            max_seconds=6.0,
+        )
+        print(json.dumps({"stage": "corpus_gen", "wall_s": round(time.time() - t0, 1)}), flush=True)
+    for split in ("train-360", "dev", "test"):
+        _alias_mix(BAND / split)
+
+    model = ConvTasNet()
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 16000)))["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    train_step, eval_step = train.make_time_domain_steps(
+        model, compute_dtype=jnp.bfloat16
+    )
+
+    def batch_arrays(b):
+        return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.sample_lengths))
+
+    make_loader = lambda split, shuffle: WaveformLoader(
+        BAND / split,
+        batch_size=8,
+        shuffle=shuffle,
+        sort_by_length=True,
+        drop_remainder=shuffle,
+        seed=0,
+    )
+    OUT.mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(OUT / "metrics.jsonl")
+    t0 = time.time()
+    result = train.fit(
+        state,
+        train_step,
+        eval_step,
+        make_loader("train-360", True),
+        make_loader("dev", False),
+        batch_arrays,
+        epochs=EPOCHS,
+        metrics=logger,
+    )
+    logger.close()
+    train_s = time.time() - t0
+
+    # held-out separation through the fused Pallas trunk (serving path)
+    sep_dir = OUT / "test_separated"
+    sep_dir.mkdir(parents=True, exist_ok=True)
+    sep = jax.jit(lambda p, m: pallas_apply(p, m))
+    t1 = time.time()
+    # 2 s length quantum → 3 padded shapes over the 2-6 s corpus → 3 Pallas
+    # remote compiles instead of 5 (each is ~1-4 min on the axon relay)
+    loader = WaveformLoader(BAND / "test", batch_size=8, pad_quantum_seconds=2.0)
+    audio_s = 0.0
+    for b in background_iterator(iter(loader), depth=2):
+        est = np.asarray(sep(result.state.params, jnp.asarray(b.mix)))
+        audio_s += float(np.sum(b.sample_lengths)) / 8000.0
+        for i, name in enumerate(b.names):
+            stem = pathlib.Path(name).stem
+            n = int(b.sample_lengths[i])
+            for s in range(2):
+                audiowrite(est[i, s, :n], sep_dir / f"{stem}_s{s + 1}.wav", 8000, True)
+    data.wait_for_pending_writes()
+    serve_s = time.time() - t1
+
+    si = eval_si_sdr(BAND, sep_dir, split="test")
+    si_i = eval_si_sdri(BAND, sep_dir, split="test")
+    summary = {
+        "epochs": EPOCHS,
+        "train_utterances": 1700,
+        "history_loss": [round(x, 3) for x in result.history["loss"]],
+        "history_val_loss": [round(x, 3) for x in result.history["val_loss"]],
+        "train_wall_s": round(train_s, 1),
+        "serve_wall_s": round(serve_s, 1),
+        "serve_audio_s": round(audio_s, 1),
+        "heldout_test_si_sdr_db": round(si, 3),
+        "heldout_test_si_sdri_db": round(si_i, 3),
+    }
+    (OUT / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
