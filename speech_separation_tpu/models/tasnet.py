@@ -108,6 +108,7 @@ class ConvTasNet(nn.Module):
     blocks: int = 7  # dilations 1, 2, 4, ... 2^(blocks-1)
     repeats: int = 3
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16 for serving)
+    remat: bool = False  # rematerialize each TCN block in the backward pass
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -131,9 +132,13 @@ class ConvTasNet(nn.Module):
         h = _GlobalLayerNorm(dtype=self.dtype, name="input_norm")(feats)
         h = nn.Conv(self.bottleneck, (1,), dtype=self.dtype, name="input_proj")(h)
         skip_sum = jnp.zeros_like(h)
+        # remat trades ~1/3 more FLOPs in backward for not storing each
+        # block's hidden-width intermediates — shrinks the training working
+        # set by ~hidden/bottleneck per block (see RESULTS.md measurement)
+        block_cls = nn.remat(_TCNBlock) if self.remat else _TCNBlock
         for r in range(self.repeats):
             for x in range(self.blocks):
-                h, skip = _TCNBlock(
+                h, skip = block_cls(
                     self.hidden,
                     self.bottleneck,
                     self.kernel,

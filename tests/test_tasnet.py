@@ -130,3 +130,24 @@ def test_time_domain_bf16_training_step_tracks_fp32():
     )
     new_state, _ = ts(state, mix, sources, lengths)
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(new_state.params))
+
+
+def test_remat_blocks_same_params_and_outputs():
+    """remat=True (backward rematerialization) must not change the param
+    tree or the forward function — checkpoints are interchangeable."""
+    base = ConvTasNet(**TINY)
+    rem = ConvTasNet(**TINY, remat=True)
+    mix = jnp.asarray(np.random.default_rng(3).standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    params = base.init(jax.random.key(0), mix)["params"]
+    p2 = rem.init(jax.random.key(0), mix)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    a = base.apply({"params": params}, mix)
+    b = rem.apply({"params": params}, mix)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # gradients agree too (remat only changes the schedule)
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, mix) ** 2)
+    ga = jax.grad(lambda p: loss(base, p))(params)
+    gb = jax.grad(lambda p: loss(rem, p))(params)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
