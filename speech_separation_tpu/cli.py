@@ -169,7 +169,11 @@ def cmd_train(args) -> None:
 
         elif cfg.variant == "tasnet":
             train_step, eval_step = train.make_time_domain_steps(
-                model, compute_dtype=jnp.bfloat16 if cfg.bf16_compute else None
+                model,
+                compute_dtype=jnp.bfloat16
+                if (cfg.bf16_compute or cfg.tasnet_pallas_trunk)
+                else None,
+                pallas_trunk=cfg.tasnet_pallas_trunk,
             )
 
             def batch_arrays(b):

@@ -145,22 +145,54 @@ def make_upit_spectrogram_steps(model, num_speakers: int = 2, donate_state: bool
     return train_step, eval_step
 
 
-def make_time_domain_steps(model, donate_state: bool = True, compute_dtype=None):
+def make_time_domain_steps(
+    model, donate_state: bool = True, compute_dtype=None, pallas_trunk: bool = False
+):
     """Steps for wave-in/wave-out separators (ConvTasNet): negative
     permutation-best SI-SDR objective over (mix, sources, sample_lengths).
 
     ``compute_dtype=jnp.bfloat16`` runs the network fwd/bwd in bf16 (fp32
     master weights; gLN statistics stay fp32 inside the module); the SI-SDR
     loss is computed in fp32 on the cast-back estimates.
+
+    ``pallas_trunk=True`` (bf16 only) runs the TCN trunk — forward AND
+    backward — as fused Pallas kernels (`ops/tcn_train_pallas.py`), a
+    custom_vjp whose gradients map back onto the same param pytree;
+    encoder/mask/decoder and the loss stay XLA-autodiff. Same checkpoints.
     """
     net = model if compute_dtype is None else model.clone(dtype=compute_dtype)
 
-    def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
-        kwargs = dict(deterministic=deterministic)
-        if not deterministic and dropout_rng is not None:
-            kwargs["rngs"] = {"dropout": dropout_rng}
-        est = net.apply({"params": params}, mix, **kwargs).astype(jnp.float32)
-        return pit_si_sdr_loss(est, sources, sample_lengths)
+    if pallas_trunk:
+        from ..models.tasnet_serving import _encode_and_project, _mask_and_decode
+        from ..ops.tcn_train_pallas import stack_canonical, tcn_trunk_train
+
+        m = model  # config source
+        dils = tuple(2**x for _ in range(m.repeats) for x in range(m.blocks))
+        interp = jax.default_backend() != "tpu"
+
+        def _forward(params, mix):
+            dt = jnp.bfloat16
+            feats, h = _encode_and_project(params, mix, m.win // 2, dt)
+            arrs = stack_canonical(params, blocks=m.blocks, repeats=m.repeats)
+            skip = tcn_trunk_train(h, *arrs, dils, m.kernel, 512, interp)
+            return _mask_and_decode(
+                params, feats, skip, m.num_speakers, m.enc_dim, m.win // 2,
+                mix.shape[1], dt,
+            )
+
+        def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
+            del dropout_rng, deterministic
+            est = _forward(params, mix).astype(jnp.float32)
+            return pit_si_sdr_loss(est, sources, sample_lengths)
+
+    else:
+
+        def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
+            kwargs = dict(deterministic=deterministic)
+            if not deterministic and dropout_rng is not None:
+                kwargs["rngs"] = {"dropout": dropout_rng}
+            est = net.apply({"params": params}, mix, **kwargs).astype(jnp.float32)
+            return pit_si_sdr_loss(est, sources, sample_lengths)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def train_step(state, mix, sources, sample_lengths):

@@ -1,0 +1,204 @@
+"""Gradient parity of the fused Pallas TCN training trunk.
+
+``tcn_trunk_train`` (ops/tcn_train_pallas.py) is a custom_vjp whose forward
+AND backward are Pallas kernels. Both are pinned against ``trunk_reference``
+(plain fp32 jnp of the same canonical math) in interpret mode: primal
+output, dh0, and every canonical weight gradient must agree to bf16 grade.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_separation_tpu.ops.tcn_train_pallas import (
+    stack_canonical,
+    tcn_trunk_train,
+    trunk_reference,
+)
+
+
+def _snr_db(ref, est):
+    ref = np.asarray(ref, np.float64)
+    est = np.asarray(est, np.float64)
+    err = np.square(ref - est).sum()
+    denom = np.square(ref).sum()
+    if denom < 1e-30:
+        return np.inf if err < 1e-30 else -np.inf
+    return 10 * np.log10(denom / max(err, 1e-30))
+
+
+def _make_arrays(key, n, cb, ch, taps, vdim):
+    ks = jax.random.split(key, 4)
+    we = jax.random.normal(ks[0], (n, cb, ch), jnp.float32) * 0.3
+    wdw = jax.random.normal(ks[1], (n, taps, ch), jnp.float32) * 0.3
+    wcat = jax.random.normal(ks[2], (n, ch, 2 * cb), jnp.float32) * 0.3
+    vecs_rows = []
+    vk = jax.random.split(ks[3], n)
+    for j in range(n):
+        r = jax.random.normal(vk[j], (10, vdim), jnp.float32) * 0.1
+        # gammas near 1, alphas positive-ish scalars broadcast
+        r = r.at[1].set(1.0 + 0.1 * r[1])
+        r = r.at[4].set(1.0 + 0.1 * r[4])
+        r = r.at[8].set(jnp.full((vdim,), 0.25 + 0.01 * float(j)))
+        r = r.at[9].set(jnp.full((vdim,), 0.2 - 0.015 * float(j)))
+        vecs_rows.append(r)
+    vecs = jnp.stack(vecs_rows)
+    return we, wdw, wcat, vecs
+
+
+@pytest.mark.parametrize(
+    "b,k,chunk", [(2, 130, 512), (1, 400, 128)], ids=["single-chunk", "multi-chunk"]
+)
+def test_trunk_train_primal_and_grads_match_reference(b, k, chunk):
+    cb, ch, taps = 16, 32, 3
+    blocks, repeats = 3, 2
+    dils = tuple(2**x for _ in range(repeats) for x in range(blocks))
+    n = len(dils)
+    vdim = max(ch, 2 * cb)
+
+    key = jax.random.key(0)
+    h0 = jax.random.normal(jax.random.key(1), (b, k, cb), jnp.float32) * 0.5
+    we, wdw, wcat, vecs = _make_arrays(key, n, cb, ch, taps, vdim)
+    probe = jax.random.normal(jax.random.key(2), (b, k, cb), jnp.float32)
+
+    def loss_ref(h0, we, wdw, wcat, vecs):
+        out = trunk_reference(h0, we, wdw, wcat, vecs, dils=dils, taps=taps)
+        return jnp.sum(out * probe)
+
+    def loss_pal(h0, we, wdw, wcat, vecs):
+        out = tcn_trunk_train(h0, we, wdw, wcat, vecs, dils, taps, chunk, True)
+        return jnp.sum(out.astype(jnp.float32) * probe)
+
+    # primal parity
+    ref_out = trunk_reference(h0, we, wdw, wcat, vecs, dils=dils, taps=taps)
+    pal_out = tcn_trunk_train(h0, we, wdw, wcat, vecs, dils, taps, chunk, True)
+    assert pal_out.shape == ref_out.shape
+    assert _snr_db(ref_out, pal_out) > 25.0, "primal mismatch"
+
+    # gradient parity on every input
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(h0, we, wdw, wcat, vecs)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(h0, we, wdw, wcat, vecs)
+    names = ["dh0", "dwe", "dwdw", "dwcat"]
+    for name, r, p in zip(names, g_ref[:4], g_pal[:4]):
+        assert _snr_db(r, p) > 15.0, f"{name}: SNR {_snr_db(r, p):.1f} dB"
+    # vecs rows 0-6 are per-channel; rows 8/9 (prelu alphas) are scalars that
+    # the reference sees only at lane 0 while the kernel distributes the
+    # partials per channel — stack_canonical reduces both by summing lanes,
+    # so compare the lane-sums (what reaches the param pytree)
+    dv_ref, dv_pal = g_ref[4], g_pal[4]
+    assert _snr_db(dv_ref[:, :7], dv_pal[:, :7]) > 15.0, "dvecs rows 0-6"
+    for row in (8, 9):
+        r = np.asarray(jnp.sum(dv_ref[:, row], axis=-1))
+        p = np.asarray(jnp.sum(dv_pal[:, row], axis=-1))
+        assert _snr_db(r, p) > 15.0, f"dvec alpha row {row}"
+
+
+def test_trunk_train_grads_exact_in_fp32(monkeypatch):
+    """With fp32 slabs the backward kernel's math is EXACT vs autodiff of the
+    reference (>60 dB on every gradient) — separates derivation correctness
+    from bf16 storage noise (measured ~125 dB; bf16 mode gives ~18-21 dB)."""
+    from speech_separation_tpu.ops import tcn_train_pallas as T
+
+    monkeypatch.setattr(T, "_SLAB", jnp.float32)
+    cb, ch, taps = 16, 32, 3
+    blocks, repeats = 3, 2
+    dils = tuple(2**x for _ in range(repeats) for x in range(blocks))
+    n = len(dils)
+    vdim = max(ch, 2 * cb)
+    b, k, chunk = 2, 130, 512
+
+    h0 = jax.random.normal(jax.random.key(1), (b, k, cb), jnp.float32) * 0.5
+    we, wdw, wcat, vecs = _make_arrays(jax.random.key(0), n, cb, ch, taps, vdim)
+    probe = jax.random.normal(jax.random.key(2), (b, k, cb), jnp.float32)
+
+    def loss_ref(*a):
+        return jnp.sum(trunk_reference(*a, dils=dils, taps=taps) * probe)
+
+    def loss_pal(*a):
+        return jnp.sum(
+            tcn_trunk_train(*a, dils, taps, chunk, True).astype(jnp.float32) * probe
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(h0, we, wdw, wcat, vecs)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(h0, we, wdw, wcat, vecs)
+    for name, r, p in zip(["dh0", "dwe", "dwdw", "dwcat"], g_ref[:4], g_pal[:4]):
+        assert _snr_db(r, p) > 60.0, f"{name}: SNR {_snr_db(r, p):.1f} dB"
+    assert _snr_db(g_ref[4][:, :7], g_pal[4][:, :7]) > 60.0
+
+
+def test_trunk_train_maps_to_param_pytree():
+    """stack_canonical is differentiable: grads flow back to the ConvTasNet
+    param dict, with alpha/bcat/pad lanes correctly reduced."""
+    from speech_separation_tpu.models import ConvTasNet
+
+    cfg = dict(num_speakers=2, enc_dim=16, win=16, bottleneck=8, hidden=16,
+               kernel=3, blocks=2, repeats=1)
+    model = ConvTasNet(**cfg)
+    mix = jax.random.normal(jax.random.key(0), (1, 640), jnp.float32) * 0.3
+    params = model.init(jax.random.key(1), mix)["params"]
+    dils = tuple(2**x for x in range(cfg["blocks"]))
+    h0 = jax.random.normal(jax.random.key(2), (1, 80, cfg["bottleneck"]), jnp.float32)
+
+    def loss(p):
+        arrs = stack_canonical(p, blocks=cfg["blocks"], repeats=cfg["repeats"])
+        out = tcn_trunk_train(h0, *arrs, dils, 3, 512, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        arrs = stack_canonical(p, blocks=cfg["blocks"], repeats=cfg["repeats"])
+        out = trunk_reference(h0, *arrs, dils=dils, taps=3)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g)[0][:],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0][:],
+    ):
+        name = jax.tree_util.keystr(kp)
+        if "tcn" not in name:
+            continue
+        ref = np.asarray(b)
+        est = np.asarray(a)
+        err = np.square(ref - est).sum()
+        denom = max(np.square(ref).sum(), 1e-20)
+        assert err < 0.05 * denom, f"{name}: rel err {err/denom:.3e}"
+
+
+def test_pallas_trunk_train_step_matches_xla_bf16():
+    """make_time_domain_steps(pallas_trunk=True): the full training step
+    (encoder + Pallas trunk fwd/bwd + mask/decoder + PIT SI-SDR loss) tracks
+    the XLA bf16 step closely and learns on separable tones."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    cfg = dict(num_speakers=2, enc_dim=32, win=16, bottleneck=16, hidden=32,
+               kernel=3, blocks=3, repeats=2)
+    model = ConvTasNet(**cfg)
+    t = np.arange(4000) / 8000.0
+    s1 = np.sin(2 * np.pi * 200 * t)[None] * 0.3
+    s2 = np.sin(2 * np.pi * 1500 * t)[None] * 0.3
+    sources = jnp.asarray(np.stack([s1, s2], axis=1), jnp.float32)
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([4000])
+
+    rng = jax.random.key(0)
+    params = model.init(rng, mix)["params"]
+
+    def run(pallas, steps=12):
+        state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+        ts, ev = train.make_time_domain_steps(
+            model, donate_state=False, compute_dtype=jnp.bfloat16,
+            pallas_trunk=pallas,
+        )
+        first = float(ev(state, mix, sources, lengths))
+        for _ in range(steps):
+            state, _ = ts(state, mix, sources, lengths)
+        return first, float(ev(state, mix, sources, lengths))
+
+    x_first, x_last = run(False)
+    p_first, p_last = run(True)
+    assert abs(p_first - x_first) < 0.5, (p_first, x_first)  # same objective
+    assert p_last < p_first - 1.0  # learns
+    assert abs(p_last - x_last) < 2.0, (p_last, x_last)  # similar trajectory
