@@ -8,7 +8,9 @@ through the fused Pallas TCN trunk (`pallas_apply`) and scored with
 SI-SDR / SI-SDRi. Generates the 2,000-utterance Libri2Mix-shaped synthetic
 corpus if it's not already present.
 
-Usage: python scripts/tasnet_corpus_run.py [CORPUS_ROOT] [EPOCHS]
+Usage: python scripts/tasnet_corpus_run.py [CORPUS_ROOT] [EPOCHS] [pallas] [BATCH]
+  ``pallas``: train through the fused Pallas fwd+bwd trunk
+  (`make_time_domain_steps(pallas_trunk=True)`) — fastest at batch ≥ 32.
 """
 
 import json
@@ -39,6 +41,8 @@ from speech_separation_tpu.utils import MetricsLogger
 
 ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+PALLAS = len(sys.argv) > 3 and sys.argv[3] == "pallas"
+BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else (32 if PALLAS else 8)
 BAND = ROOT / "wav8k" / "min"
 OUT = pathlib.Path("/tmp/tasnet_corpus")
 
@@ -67,7 +71,7 @@ def main():
     params = model.init(rng, jnp.zeros((1, 16000)))["params"]
     state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
     train_step, eval_step = train.make_time_domain_steps(
-        model, compute_dtype=jnp.bfloat16
+        model, compute_dtype=jnp.bfloat16, pallas_trunk=PALLAS
     )
 
     def batch_arrays(b):
@@ -75,7 +79,7 @@ def main():
 
     make_loader = lambda split, shuffle: WaveformLoader(
         BAND / split,
-        batch_size=8,
+        batch_size=BATCH,
         shuffle=shuffle,
         sort_by_length=True,
         drop_remainder=shuffle,
@@ -121,6 +125,8 @@ def main():
     si_i = eval_si_sdri(BAND, sep_dir, split="test")
     summary = {
         "epochs": EPOCHS,
+        "batch": BATCH,
+        "pallas_trunk": PALLAS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],
         "history_val_loss": [round(x, 3) for x in result.history["val_loss"]],

@@ -146,7 +146,11 @@ def make_upit_spectrogram_steps(model, num_speakers: int = 2, donate_state: bool
 
 
 def make_time_domain_steps(
-    model, donate_state: bool = True, compute_dtype=None, pallas_trunk: bool = False
+    model,
+    donate_state: bool = True,
+    compute_dtype=None,
+    pallas_trunk: bool = False,
+    dp_mesh=None,
 ):
     """Steps for wave-in/wave-out separators (ConvTasNet): negative
     permutation-best SI-SDR objective over (mix, sources, sample_lengths).
@@ -159,6 +163,14 @@ def make_time_domain_steps(
     backward — as fused Pallas kernels (`ops/tcn_train_pallas.py`), a
     custom_vjp whose gradients map back onto the same param pytree;
     encoder/mask/decoder and the loss stay XLA-autodiff. Same checkpoints.
+
+    ``dp_mesh``: data-parallel steps via ``shard_map`` over the mesh's
+    ``data`` axis — each device runs fwd+bwd on its batch shard (Pallas
+    kernels included) and gradients/losses are ``pmean``-ed over ICI.
+    Batch must divide by the axis size; required for multi-chip training
+    with ``pallas_trunk`` (XLA's auto-sharding cannot partition the
+    custom_vjp's pallas_call). Parity with the single-device step is
+    pinned in ``tests/test_tcn_train_pallas.py``.
     """
     net = model if compute_dtype is None else model.clone(dtype=compute_dtype)
 
@@ -193,6 +205,48 @@ def make_time_domain_steps(
                 kwargs["rngs"] = {"dropout": dropout_rng}
             est = net.apply({"params": params}, mix, **kwargs).astype(jnp.float32)
             return pit_si_sdr_loss(est, sources, sample_lengths)
+
+    if dp_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def _sharded_grads(params, mix, sources, sample_lengths):
+            loss, grads = jax.value_and_grad(_loss)(
+                params, mix, sources, sample_lengths, None, False
+            )
+            return jax.lax.pmean(loss, "data"), jax.lax.pmean(grads, "data")
+
+        grads_fn = jax.shard_map(
+            _sharded_grads,
+            mesh=dp_mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+        def train_step(state, mix, sources, sample_lengths):
+            rng, _ = jax.random.split(state.rng)
+            loss, grads = grads_fn(state.params, mix, sources, sample_lengths)
+            return state.apply_gradients(grads).replace(rng=rng), loss
+
+        def _sharded_eval(params, mix, sources, sample_lengths):
+            return jax.lax.pmean(
+                _loss(params, mix, sources, sample_lengths, None, True), "data"
+            )
+
+        eval_fn = jax.shard_map(
+            _sharded_eval,
+            mesh=dp_mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def eval_step(state, mix, sources, sample_lengths):
+            return eval_fn(state.params, mix, sources, sample_lengths)
+
+        return train_step, eval_step
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def train_step(state, mix, sources, sample_lengths):

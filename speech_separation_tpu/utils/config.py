@@ -60,7 +60,7 @@ class UPitTrainConfig:
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)
-    tasnet_pallas_trunk: bool = False  # tasnet: Pallas fwd+bwd TCN trunk (implies bf16)
+    tasnet_pallas_trunk: bool = False  # tasnet: Pallas fwd+bwd TCN trunk (implies bf16; DP via make_time_domain_steps(dp_mesh=...))
     frame_size: int = 40  # conv variant
     tasnet_enc_dim: int = 256  # tasnet variant
     tasnet_win: int = 16  # encoder window (stride = win/2); 32 ≈ 2× serving speed

@@ -202,3 +202,55 @@ def test_pallas_trunk_train_step_matches_xla_bf16():
     assert abs(p_first - x_first) < 0.5, (p_first, x_first)  # same objective
     assert p_last < p_first - 1.0  # learns
     assert abs(p_last - x_last) < 2.0, (p_last, x_last)  # similar trajectory
+
+
+def test_pallas_trunk_dp_step_matches_single_device():
+    """dp_mesh steps (shard_map over the data axis, Pallas kernels inside,
+    pmean'd grads): loss and updated params match the single-device step."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU test mesh")
+    from speech_separation_tpu import parallel, train
+    from speech_separation_tpu.models import ConvTasNet
+
+    cfg = dict(num_speakers=2, enc_dim=16, win=16, bottleneck=16, hidden=16,
+               kernel=3, blocks=2, repeats=1)
+    model = ConvTasNet(**cfg)
+    gen = np.random.default_rng(0)
+    sources = jnp.asarray(gen.standard_normal((8, 2, 2000)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    lengths = jnp.full((8,), 2000, jnp.int32)
+    params = model.init(jax.random.key(0), mix)["params"]
+
+    def make(dp):
+        state = train.TrainState.create(
+            model.apply, jax.tree.map(jnp.array, params), train.adam(1e-3),
+            jax.random.key(0),
+        )
+        ts, ev = train.make_time_domain_steps(
+            model, donate_state=False, compute_dtype=jnp.bfloat16,
+            pallas_trunk=True, dp_mesh=dp,
+        )
+        return state, ts, ev
+
+    s0, ts0, ev0 = make(None)
+    ref_state, ref_loss = ts0(s0, mix, sources, lengths)
+    ref_eval = float(ev0(ref_state, mix, sources, lengths))
+
+    mesh = parallel.make_mesh()  # all 8 devices on data
+    s1, ts1, ev1 = make(mesh)
+    smix, ssrc, slen = parallel.shard_batch((mix, sources, lengths), mesh)
+    new_state, loss = ts1(s1, smix, ssrc, slen)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-3)
+    ev = float(ev1(new_state, smix, ssrc, slen))
+    np.testing.assert_allclose(ev, ref_eval, rtol=2e-3)
+    # Adam normalizes by sqrt(vhat): near-zero gradients become ±lr sign
+    # bits, so fp reassociation between the two summation orders (single
+    # device vs pmean) can flip isolated elements by up to ~2·lr. Assert
+    # updates agree in bulk and nothing exceeds that bound.
+    lr = 1e-3
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
+        diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        assert diff.max() < 2.5 * lr, diff.max()
+        assert diff.mean() < 0.2 * lr, diff.mean()
