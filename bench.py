@@ -113,6 +113,36 @@ def bench_tasnet(batch=64, seconds=8, iters=5, win=16, kernel="standard"):
     return batch * seconds * iters / elapsed
 
 
+def bench_tasnet_train(batch=16, seconds=4, iters=10):
+    """Conv-TasNet bf16 mixed-precision train step: audio-seconds trained
+    per wall second per chip (fp32 master weights, bf16 fwd/bwd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    samples = 8000 * seconds
+    gen = np.random.default_rng(0)
+    sources = jnp.asarray(gen.standard_normal((batch, 2, samples)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    lengths = jnp.full((batch,), samples, jnp.int32)
+    model = ConvTasNet()
+    params = model.init(jax.random.key(0), mix[:1])["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), jax.random.key(0))
+    step, _ = train.make_time_domain_steps(
+        model, donate_state=True, compute_dtype=jnp.bfloat16
+    )
+    state, loss = step(state, mix, sources, lengths)
+    state, loss = step(state, mix, sources, lengths)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, mix, sources, lengths)
+    float(loss)  # host fetch forces the chain
+    return batch * seconds * iters / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -127,6 +157,7 @@ def main() -> None:
     tasnet_w32 = bench_tasnet(win=32)
     tasnet_w16_pallas = bench_tasnet(win=16, kernel="pallas")
     tasnet_w32_pallas = bench_tasnet(win=32, kernel="pallas")
+    tasnet_train = bench_tasnet_train()
 
     print(
         json.dumps(
@@ -141,6 +172,7 @@ def main() -> None:
                     "tasnet_bf16_win32_x_realtime": round(tasnet_w32, 2),
                     "tasnet_pallas_win16_x_realtime": round(tasnet_w16_pallas, 2),
                     "tasnet_pallas_win32_x_realtime": round(tasnet_w32_pallas, 2),
+                    "tasnet_train_bf16_audio_s_per_s": round(tasnet_train, 2),
                 },
             }
         )

@@ -31,7 +31,8 @@ dtype): XLA's own fusion already buys most of that on the standard path, so
 ``fused_apply`` lands at ~0.95x the standard module (6,287x vs 6,615x real
 time at win=16, batch 64) - the fold is kept because it is the host-side
 weight preparation for the *Pallas* trunk (``pallas_apply``), which holds
-the whole TCN in VMEM and DOES beat the XLA path: 8,367x real time (+26%).
+the whole TCN in VMEM and DOES beat the XLA path: 8,794x real time (+33%,
+chunk=1024; 8,367x at chunk=512).
 Numerics differ from the reference path only by fp rounding (scales applied
 after the matmul instead of before); parity is pinned by
 ``tests/test_tasnet_serving.py``.
@@ -235,7 +236,7 @@ def pallas_apply(
     kernel: int = 3,
     blocks: int = 7,
     repeats: int = 3,
-    chunk: int = 512,
+    chunk: int = 1024,  # 1024 measured +5% over 512 at win=16 (58.2 vs 61.2 ms)
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """ConvTasNet forward with the TCN trunk as one fused Pallas kernel.

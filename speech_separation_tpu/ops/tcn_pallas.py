@@ -260,7 +260,7 @@ def tcn_trunk_pallas(
     *,
     dils: tuple[int, ...],
     taps: int = 3,
-    chunk: int = 512,
+    chunk: int = 1024,  # 1024 measured +5% over 512 at win=16 (58.2 vs 61.2 ms)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused TCN trunk. ``h0``: [B, K, bottleneck] (any float dtype).
