@@ -514,6 +514,32 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
             (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
             (mix,) = shard_batch((mix,), dp_mesh)
+        if getattr(args, "chunk_seconds", 0.0):
+            # arbitrary-length serving: fixed overlapped chunks, one
+            # compiled shape, permutation-aligned crossfade stitching
+            from .separate.tasnet_chunked import separate_chunked
+
+            for i, name in enumerate(b.names):
+                stem = pathlib.Path(name).stem
+                n = int(b.sample_lengths[i])
+                est_u = separate_chunked(
+                    lambda m: separate(params, m),
+                    _np.asarray(b.mix[i, :n]),
+                    num_speakers=cfg.num_speakers,
+                    sample_rate=cfg.stft.sample_rate,
+                    chunk_seconds=args.chunk_seconds,
+                    overlap_seconds=args.chunk_overlap_seconds,
+                )
+                for s in range(cfg.num_speakers):
+                    audiowrite(
+                        est_u[s],
+                        out_dir / f"{stem}_s{s + 1}.wav",
+                        cfg.stft.sample_rate,
+                        normalize=True,
+                        threaded=True,
+                    )
+                    written += 1
+            continue
         est = _np.asarray(separate(params, mix))[:n_real]
         for i, name in enumerate(b.names):
             stem = pathlib.Path(name).stem
@@ -930,6 +956,20 @@ def main(argv=None) -> None:
         default=1.0,
         help="round padded batch lengths up to a multiple of this, bounding "
         "distinct compiled shapes (time-domain serving; default 1.0)",
+    )
+    p.add_argument(
+        "--chunk-seconds",
+        type=float,
+        default=0.0,
+        help="tasnet: separate in fixed overlapped chunks (any utterance "
+        "length, ONE compiled shape; permutation-aligned crossfade "
+        "stitching; gLN stats become chunk-local — see RESULTS.md)",
+    )
+    p.add_argument(
+        "--chunk-overlap-seconds",
+        type=float,
+        default=1.0,
+        help="overlap between serving chunks (with --chunk-seconds)",
     )
     p.add_argument(
         "--long-utterance",

@@ -1,0 +1,108 @@
+"""Chunked long-form Conv-TasNet serving: stitching correctness + quality.
+
+``separate_chunked`` must (a) re-align each chunk's arbitrary speaker order
+via overlap correlation, (b) crossfade without boundary artifacts, and
+(c) lose almost nothing vs full-utterance separation despite chunk-local
+gLN statistics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_separation_tpu.separate.tasnet_chunked import separate_chunked
+
+
+def _snr_db(ref, est):
+    ref = np.asarray(ref, np.float64)
+    est = np.asarray(est, np.float64)
+    return 10 * np.log10(np.square(ref).sum() / max(np.square(ref - est).sum(), 1e-30))
+
+
+def test_stitcher_realigns_swapped_chunks():
+    """A 'separator' that returns the two true sources but with a per-chunk
+    channel swap: the stitcher must undo every swap and crossfade to the
+    clean sources."""
+    sr, seconds = 8000, 6.0
+    t = np.arange(int(sr * seconds)) / sr
+    s1 = np.sin(2 * np.pi * 220 * t).astype(np.float32) * 0.5
+    s2 = np.sign(np.sin(2 * np.pi * 50 * t)).astype(np.float32) * 0.3
+    mix = s1 + s2
+    chunk = int(1.0 * sr)
+
+    call_count = [0]
+
+    def swapping_apply(batch):
+        batch = np.asarray(batch)
+        outs = []
+        for i in range(batch.shape[0]):
+            call_count[0] += 1
+            # slice the TRUE sources at this chunk's position (match by
+            # correlating the chunk against the mix to find its offset)
+            # simpler: chunks are fed in order with known geometry
+            outs.append(None)
+        # reconstruct via known chunk geometry: starts spaced by hop
+        n = batch.shape[0]
+        hop = chunk - int(0.25 * sr)
+        res = np.zeros((n, 2, chunk), np.float32)
+        for i in range(n):
+            st = min(i * hop, mix.shape[0] - chunk)
+            pair = (s1[st : st + chunk], s2[st : st + chunk])
+            if i % 2 == 1:  # arbitrary per-chunk permutation
+                pair = (pair[1], pair[0])
+            res[i, 0, : pair[0].shape[0]] = pair[0]
+            res[i, 1, : pair[1].shape[0]] = pair[1]
+        return jnp.asarray(res)
+
+    out = separate_chunked(
+        swapping_apply, mix, sample_rate=sr, chunk_seconds=1.0, overlap_seconds=0.25
+    )
+    assert out.shape == (2, mix.shape[0])
+    # stitched output must be the unswapped sources, near-exactly
+    assert _snr_db(s1, out[0]) > 40.0
+    assert _snr_db(s2, out[1]) > 40.0
+
+
+def test_chunked_close_to_full_utterance():
+    """Chunk-local gLN stats: a briefly-trained tiny ConvTasNet separates a
+    long two-tone mixture; chunked output must track the full-utterance
+    output closely."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    cfg = dict(num_speakers=2, enc_dim=32, win=16, bottleneck=16, hidden=32,
+               kernel=3, blocks=3, repeats=1)
+    model = ConvTasNet(**cfg)
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    s1 = (np.sin(2 * np.pi * 200 * t) * 0.3).astype(np.float32)
+    s2 = (np.sin(2 * np.pi * 1500 * t) * 0.3).astype(np.float32)
+    sources = jnp.asarray(np.stack([s1, s2])[None])
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([t.size])
+
+    rng = jax.random.key(0)
+    params = model.init(rng, mix[:, :8000])["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(2e-3), rng)
+    ts, _ = train.make_time_domain_steps(model, donate_state=False)
+    for _ in range(60):
+        state, _ = ts(state, mix, sources, lengths)
+
+    apply_fn = jax.jit(lambda m: model.apply({"params": state.params}, m))
+    full = np.asarray(apply_fn(mix))[0]  # [S, T]
+    chunked = separate_chunked(
+        apply_fn, np.asarray(mix[0]), sample_rate=sr,
+        chunk_seconds=1.5, overlap_seconds=0.375,
+    )
+    # align chunked to full's channel order globally
+    if _snr_db(full[0], chunked[0]) < _snr_db(full[0], chunked[1]):
+        chunked = chunked[::-1]
+    # chunk-local gLN is an approximation; demand close tracking
+    assert _snr_db(full[0], chunked[0]) > 12.0
+    assert _snr_db(full[1], chunked[1]) > 12.0
+    # and actual separation quality survives chunking
+    q_full = min(_snr_db(s1, full[0]), _snr_db(s2, full[1]))
+    q_chunk = min(_snr_db(s1, chunked[0]), _snr_db(s2, chunked[1]))
+    assert q_chunk > q_full - 2.0, (q_full, q_chunk)
