@@ -31,7 +31,9 @@ def _chained_timer(fn, first_arg, iters, extract):
     return time.perf_counter() - t0
 
 
-def bench_blstm(compute_dtype=None, batch=128, seconds=8, iters=10):
+def bench_blstm(compute_dtype=None, batch=256, seconds=8, iters=10):
+    # batch sweep (bf16): 128 → 26,263×, 256 → 27,221×, 512 → 27,369×;
+    # 256 takes the +4% without doubling latency/memory again
     import jax
     import jax.numpy as jnp
 
