@@ -516,19 +516,36 @@ def _separate_time_domain(cfg, model, state, args) -> None:
             (mix,) = shard_batch((mix,), dp_mesh)
         if getattr(args, "chunk_seconds", 0.0):
             # arbitrary-length serving: fixed overlapped chunks, one
-            # compiled shape, permutation-aligned crossfade stitching
+            # compiled shape, permutation-aligned crossfade stitching.
+            # With --dp the chunk batch itself shards over the mesh
+            # (multi-chip long-form separation): quantize rows to the
+            # data-axis size so every shard stays equal.
+            import math
+
             from .separate.tasnet_chunked import separate_chunked
+
+            quantum = 4
+            if dp_mesh is not None:
+                quantum = math.lcm(4, dp_mesh.shape["data"])
+
+            def _chunk_apply(m):
+                if dp_mesh is not None:
+                    from .parallel.sharding import shard_batch
+
+                    (m,) = shard_batch((m,), dp_mesh)
+                return separate(params, m)
 
             for i, name in enumerate(b.names):
                 stem = pathlib.Path(name).stem
                 n = int(b.sample_lengths[i])
                 est_u = separate_chunked(
-                    lambda m: separate(params, m),
+                    _chunk_apply,
                     _np.asarray(b.mix[i, :n]),
                     num_speakers=cfg.num_speakers,
                     sample_rate=cfg.stft.sample_rate,
                     chunk_seconds=args.chunk_seconds,
                     overlap_seconds=args.chunk_overlap_seconds,
+                    batch_quantum=quantum,
                 )
                 for s in range(cfg.num_speakers):
                     audiowrite(
