@@ -19,7 +19,7 @@ from speech_separation_tpu.models import ConvTasNet
 from speech_separation_tpu import train
 
 import os
-seconds, sr, iters, batch = 4, 8000, 10, int(os.environ.get("B","32"))
+seconds, sr, iters, batch = int(os.environ.get("SECS","4")), 8000, 10, int(os.environ.get("B","32"))
 samples = sr * seconds
 gen = np.random.default_rng(0)
 sources = jnp.asarray(gen.standard_normal((batch, 2, samples)).astype(np.float32) * 0.1)
