@@ -98,3 +98,58 @@ def test_chunked_close_to_full_utterance():
     q_full = min(_snr_db(s1, full[0]), _snr_db(s2, full[1]))
     q_chunk = min(_snr_db(s1, chunked[0]), _snr_db(s2, chunked[1]))
     assert q_chunk > q_full - 2.0, (q_full, q_chunk)
+
+
+def test_chunked_short_utterance_single_chunk():
+    """Utterance shorter than one chunk: single padded chunk, trivially
+    stitched, exact output."""
+    sr = 8000
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    s1 = np.sin(2 * np.pi * 300 * t).astype(np.float32) * 0.4
+    s2 = np.cos(2 * np.pi * 80 * t).astype(np.float32) * 0.2
+    mix = s1 + s2
+
+    def apply_fn(batch):
+        batch = np.asarray(batch)
+        res = np.zeros((batch.shape[0], 2, batch.shape[1]), np.float32)
+        res[0, 0, : s1.size] = s1
+        res[0, 1, : s2.size] = s2
+        return jnp.asarray(res)
+
+    out = separate_chunked(apply_fn, mix, sample_rate=sr, chunk_seconds=1.0,
+                           overlap_seconds=0.25)
+    assert out.shape == (2, mix.size)
+    assert _snr_db(s1, out[0]) > 60.0
+    assert _snr_db(s2, out[1]) > 60.0
+
+
+def test_stitcher_three_speakers_cyclic_permutations():
+    """S=3: the stitcher searches all 6 permutations per chunk; cyclically
+    rotated chunk outputs must be fully unscrambled."""
+    sr, seconds = 8000, 4.0
+    t = np.arange(int(sr * seconds)) / sr
+    srcs = np.stack([
+        np.sin(2 * np.pi * 150 * t) * 0.4,
+        np.sign(np.sin(2 * np.pi * 37 * t)) * 0.25,
+        np.sin(2 * np.pi * 900 * t) * 0.3,
+    ]).astype(np.float32)
+    mix = srcs.sum(axis=0)
+    chunk = sr  # 1 s
+    hop = chunk - sr // 4
+
+    def apply_fn(batch):
+        batch = np.asarray(batch)
+        n = batch.shape[0]
+        res = np.zeros((n, 3, chunk), np.float32)
+        for i in range(n):
+            st = min(i * hop, mix.size - chunk)
+            rot = i % 3  # cyclic scramble per chunk
+            for k in range(3):
+                seg = srcs[(k + rot) % 3, st : st + chunk]
+                res[i, k, : seg.size] = seg
+        return jnp.asarray(res)
+
+    out = separate_chunked(apply_fn, mix, num_speakers=3, sample_rate=sr,
+                           chunk_seconds=1.0, overlap_seconds=0.25)
+    for k in range(3):
+        assert _snr_db(srcs[k], out[k]) > 40.0, k
