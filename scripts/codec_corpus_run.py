@@ -10,6 +10,7 @@ Usage: python scripts/codec_corpus_run.py [CORPUS_ROOT] [EPOCHS]
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -27,13 +28,30 @@ from speech_separation_tpu.models import VqVaeT3Tok
 from speech_separation_tpu.tokenizer import TokenLayout, code_metrics
 from speech_separation_tpu.utils import MetricsLogger
 
-ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
+PROFILE = os.environ.get("PROFILE", "easy")  # corpus difficulty regime
+_default_root = "/tmp/data_scale/corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}")
+ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path(_default_root)
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 BAND = ROOT / "wav8k" / "min"
-OUT = pathlib.Path("/tmp/codec_corpus")
+OUT = pathlib.Path("/tmp/codec_corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}"))
 
 
 def main():
+    if not ROOT.exists():
+        import time as _time
+
+        from speech_separation_tpu.data import make_synthetic_librimix
+
+        t_gen = _time.time()
+        make_synthetic_librimix(
+            ROOT,
+            utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": 1700},
+            min_seconds=2.0,
+            max_seconds=6.0,
+            profile=PROFILE,
+        )
+        print(json.dumps({"stage": "corpus_gen", "profile": PROFILE,
+                          "wall_s": round(_time.time() - t_gen, 1)}), flush=True)
     model = VqVaeT3Tok(skip_pq=4)
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, 16, 40)))["params"]
@@ -90,6 +108,7 @@ def main():
 
     layout = TokenLayout.for_codec(model)
     summary = {
+        "corpus_profile": PROFILE,
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_val_loss": [round(x, 3) for x in result.history["val_loss"]],

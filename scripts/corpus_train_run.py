@@ -28,10 +28,12 @@ from speech_separation_tpu.models import UPitBlstm
 from speech_separation_tpu.separate import separate_directory
 from speech_separation_tpu.utils import MetricsLogger
 
-ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
+PROFILE = os.environ.get("PROFILE", "easy")  # corpus difficulty regime
+_default_root = "/tmp/data_scale/corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}")
+ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path(_default_root)
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 BAND = ROOT / "wav8k" / "min"
-OUT = pathlib.Path("/tmp/corpus_train")
+OUT = pathlib.Path("/tmp/corpus_train" + ("" if PROFILE == "easy" else f"_{PROFILE}"))
 
 
 def _alias_mix(split_dir: pathlib.Path) -> None:
@@ -41,6 +43,21 @@ def _alias_mix(split_dir: pathlib.Path) -> None:
 
 
 def main():
+    if not ROOT.exists():
+        import time as _time
+
+        from speech_separation_tpu.data import make_synthetic_librimix
+
+        t_gen = _time.time()
+        make_synthetic_librimix(
+            ROOT,
+            utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": 1700},
+            min_seconds=2.0,
+            max_seconds=6.0,
+            profile=PROFILE,
+        )
+        print(json.dumps({"stage": "corpus_gen", "profile": PROFILE,
+                          "wall_s": round(_time.time() - t_gen, 1)}), flush=True)
     for split in ("train-360", "dev", "test"):
         _alias_mix(BAND / split)
 
@@ -89,6 +106,7 @@ def main():
     si = eval_si_sdr(BAND, sep_dir, split="test")
     si_i = eval_si_sdri(BAND, sep_dir, split="test")
     summary = {
+        "corpus_profile": PROFILE,
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],

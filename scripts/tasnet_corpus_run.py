@@ -39,12 +39,14 @@ from speech_separation_tpu.models import ConvTasNet
 from speech_separation_tpu.models.tasnet_serving import pallas_apply
 from speech_separation_tpu.utils import MetricsLogger
 
-ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/data_scale/corpus")
+PROFILE = os.environ.get("PROFILE", "easy")  # corpus difficulty regime
+_default_root = "/tmp/data_scale/corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}")
+ROOT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path(_default_root)
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 PALLAS = len(sys.argv) > 3 and sys.argv[3] == "pallas"
 BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else (32 if PALLAS else 8)
 BAND = ROOT / "wav8k" / "min"
-OUT = pathlib.Path("/tmp/tasnet_corpus")
+OUT = pathlib.Path("/tmp/tasnet_corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}"))
 
 
 def _alias_mix(split_dir: pathlib.Path) -> None:
@@ -61,6 +63,7 @@ def main():
             utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": 1700},
             min_seconds=2.0,
             max_seconds=6.0,
+            profile=PROFILE,
         )
         print(json.dumps({"stage": "corpus_gen", "wall_s": round(time.time() - t0, 1)}), flush=True)
     for split in ("train-360", "dev", "test"):
@@ -124,6 +127,7 @@ def main():
     si = eval_si_sdr(BAND, sep_dir, split="test")
     si_i = eval_si_sdri(BAND, sep_dir, split="test")
     summary = {
+        "corpus_profile": PROFILE,
         "epochs": EPOCHS,
         "batch": BATCH,
         "pallas_trunk": PALLAS,

@@ -50,6 +50,7 @@ def main():
             sep_dir = OUT / f"sep_{step}"
             sep_dir.mkdir(parents=True, exist_ok=True)
             tt = data.WaveformLoader(FIXTURE / "tt", batch_size=4)
+            clipped_total = 0
             for b in tt:
                 est = np.asarray(separate(state.params, jnp.asarray(b.mix)))
                 for i, name in enumerate(b.names):
@@ -60,9 +61,17 @@ def main():
                         # est to ref with NO gain allowed, so peak-normalizing
                         # here would turn the SDR column into a measurement of
                         # the sources' natural peak levels (SI-SDR is immune)
-                        audiowrite(
+                        clipped_total += audiowrite(
                             est[i, s, :n], sep_dir / f"{stem}_s{s + 1}.wav", 8000, False
                         )
+            if clipped_total:
+                # hard int16 clipping is a nonlinearity that corrupts the SDR
+                # and SI-SDR columns below — surface it instead of silently
+                # reporting metrics of clipped audio
+                print(
+                    json.dumps({"warning": "clipped_samples", "count": clipped_total}),
+                    flush=True,
+                )
             wait_for_pending_writes()
             si = eval_si_sdr(FIXTURE, sep_dir)
             sdr = eval_sdr(FIXTURE, sep_dir)

@@ -507,13 +507,6 @@ def _separate_time_domain(cfg, model, state, args) -> None:
     for b in loader:
         import numpy as _np
 
-        mix = jnp.asarray(b.mix)
-        n_real = mix.shape[0]
-        if dp_mesh is not None:
-            from .parallel.sharding import pad_batch_for_mesh, shard_batch
-
-            (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
-            (mix,) = shard_batch((mix,), dp_mesh)
         if getattr(args, "chunk_seconds", 0.0):
             # arbitrary-length serving: fixed overlapped chunks, one
             # compiled shape, permutation-aligned crossfade stitching.
@@ -557,6 +550,16 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                     )
                     written += 1
             continue
+        # full-utterance path: the whole batch goes to the device(s) at once.
+        # The chunked branch above feeds the device per-chunk from host and
+        # must not pay this (potentially long-utterance) full-batch transfer.
+        mix = jnp.asarray(b.mix)
+        n_real = mix.shape[0]
+        if dp_mesh is not None:
+            from .parallel.sharding import pad_batch_for_mesh, shard_batch
+
+            (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
+            (mix,) = shard_batch((mix,), dp_mesh)
         est = _np.asarray(separate(params, mix))[:n_real]
         for i, name in enumerate(b.names):
             stem = pathlib.Path(name).stem
@@ -835,6 +838,14 @@ def cmd_prior_train(args) -> None:
     logger.close()
     ckpt.close()
     deep_stream, skip_stream = (np.asarray(s) for s in layout.deinterleave(train_tokens))
+    # entropy calibration (VERDICT r2 #5): the val NLL is held-out-utterance
+    # (val_split tokenizes different utterances); compare it against the
+    # context-free unigram ceiling of the same stream so a tiny loss on a
+    # near-deterministic stream can't masquerade as modeling skill
+    from .tokenizer import empirical_token_entropy
+
+    entropy = empirical_token_entropy(val_tokens, layout)
+    nats = float(result.best_val_loss)
     print(
         json.dumps(
             {
@@ -844,6 +855,14 @@ def cmd_prior_train(args) -> None:
                 "vocab": layout.vocab,
                 "deep_codebook": code_metrics(deep_stream, codec_cfg.num_embeddings),
                 "skip_codebook": code_metrics(skip_stream, codec_cfg.skip_embeddings),
+                "prior_calibration": {
+                    "heldout_nats_per_token": round(nats, 4),
+                    "heldout_bits_per_token": round(nats / float(np.log(2.0)), 4),
+                    "heldout_perplexity": round(float(np.exp(nats)), 4),
+                    "unigram_positional_nats": entropy["positional_nats"],
+                    "unigram_marginal_nats": entropy["marginal_nats"],
+                    "context_gain_nats": round(entropy["positional_nats"] - nats, 4),
+                },
             }
         )
     )
@@ -888,6 +907,8 @@ def cmd_prior_sample(args) -> None:
     )
     wav = np.asarray(frames).reshape(-1)
     audiowrite(wav, args.out, codec_cfg.sample_rate, normalize=True)
+    from .tokenizer import distinct_n
+
     print(
         json.dumps(
             {
@@ -895,6 +916,9 @@ def cmd_prior_sample(args) -> None:
                 "samples": int(wav.size),
                 "tokens": int(tokens.shape[1]),
                 "seconds": round(wav.size / codec_cfg.sample_rate, 2),
+                # sample diversity: collapse/looping shows up as distinct-n → 0
+                "distinct_3": distinct_n(np.asarray(tokens), 3),
+                "distinct_5": distinct_n(np.asarray(tokens), 5),
             }
         )
     )

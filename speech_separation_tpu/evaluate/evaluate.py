@@ -21,16 +21,35 @@ from ..metrics.sisdr import permute_si_sdr
 __all__ = ["eval_si_sdr", "eval_si_sdri", "eval_sdr", "score_pair", "evaluate_directory"]
 
 
-def _load_pairs(wav_dir: pathlib.Path, est_dir: pathlib.Path, split: str = "tt"):
-    mix_dir = wav_dir / split / "mix"
+def _detect_num_speakers(split_dir: pathlib.Path) -> int:
+    s = 0
+    while (split_dir / f"s{s + 1}").is_dir():
+        s += 1
+    return max(s, 2)
+
+
+def _load_pairs(
+    wav_dir: pathlib.Path,
+    est_dir: pathlib.Path,
+    split: str = "tt",
+    num_speakers: int | None = None,
+):
+    """Pair references ``{split}/s1..sN`` with estimates ``{stem}_s1..sN.wav``.
+
+    ``num_speakers=None`` autodetects N from the ``sN`` subdirectories
+    (the reference is strictly 2-speaker; n-speaker is beyond-parity)."""
+    split_dir = wav_dir / split
+    mix_dir = split_dir / "mix"
+    if num_speakers is None:
+        num_speakers = _detect_num_speakers(split_dir)
     for name in sorted(p.name for p in mix_dir.glob("*.wav")):
         stem = pathlib.Path(name).stem
-        ref1, _ = read_wav(wav_dir / split / "s1" / name)
-        ref2, _ = read_wav(wav_dir / split / "s2" / name)
-        est1, _ = read_wav(est_dir / f"{stem}_s1.wav")
-        est2, _ = read_wav(est_dir / f"{stem}_s2.wav")
-        n = min(ref1.size, est1.size)
-        yield name, (ref1[:n], ref2[:n]), (est1[:n], est2[:n])
+        refs = [read_wav(split_dir / f"s{i + 1}" / name)[0] for i in range(num_speakers)]
+        ests = [
+            read_wav(est_dir / f"{stem}_s{i + 1}.wav")[0] for i in range(num_speakers)
+        ]
+        n = min(min(r.size for r in refs), min(e.size for e in ests))
+        yield name, tuple(r[:n] for r in refs), tuple(e[:n] for e in ests)
 
 
 def eval_si_sdr(
@@ -59,7 +78,7 @@ def eval_si_sdri(
         mix, _ = read_wav(wav_dir / split / "mix" / name)
         n = refs[0].size
         mix = mix[:n]
-        baseline = np.mean([permute_si_sdr(refs, (mix, mix))])
+        baseline = np.mean([permute_si_sdr(refs, (mix,) * len(refs))])
         improvements.append(permute_si_sdr(refs, ests) - baseline)
     return float(np.mean(improvements))
 
@@ -111,7 +130,7 @@ def evaluate_directory(
         scores = score_pair(refs, ests, flen=flen)
         mix, _ = read_wav(wav_dir / split / "mix" / name)
         mix = mix[: refs[0].size]
-        scores["si_sdri"] = scores["si_sdr"] - permute_si_sdr(refs, (mix, mix))
+        scores["si_sdri"] = scores["si_sdr"] - permute_si_sdr(refs, (mix,) * len(refs))
         per_utterance.append({"name": name, **scores})
     keys = ("si_sdr", "si_sdri", "sdr", "isr", "sir", "sar")
     aggregate = {

@@ -39,11 +39,14 @@ class RelativeSelfAttention(nn.Module):
     head_dim: int
     max_distance: int = 16
     causal: bool = True
+    decode_length: int | None = None  # KV-cache capacity for incremental decode
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, t, _ = x.shape
+    def __call__(self, x: jnp.ndarray, index: jnp.ndarray | None = None) -> jnp.ndarray:
         h, d = self.num_heads, self.head_dim
+        if index is not None:
+            return self._decode(x, index)
+        b, t, _ = x.shape
         qkv = nn.Dense(3 * h * d, name="qkv")(x).reshape(b, t, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, D]
 
@@ -66,18 +69,53 @@ class RelativeSelfAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h * d)
         return nn.Dense(x.shape[-1], name="proj")(out)
 
+    def _decode(self, x: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+        """One incremental step: ``x [B, 1, dim]`` at position ``index``,
+        attending over a KV cache of capacity ``decode_length``. Same params
+        (and numerics) as the full causal path — only the positional term is
+        gathered for the single query row instead of the full [T, T] table."""
+        assert self.decode_length is not None, "clone(decode_length=T) to decode"
+        b = x.shape[0]
+        h, d, t_max = self.num_heads, self.head_dim, self.decode_length
+        qkv = nn.Dense(3 * h * d, name="qkv")(x).reshape(b, 1, 3, h, d)
+        q, k_new, v_new = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, 1, H, D]
+
+        ck = self.variable("cache", "key", jnp.zeros, (b, t_max, h, d), x.dtype)
+        cv = self.variable("cache", "value", jnp.zeros, (b, t_max, h, d), x.dtype)
+        ck.value = jax.lax.dynamic_update_slice(ck.value, k_new, (0, index, 0, 0))
+        cv.value = jax.lax.dynamic_update_slice(cv.value, v_new, (0, index, 0, 0))
+
+        rel_table = self.param(
+            "rel_embeddings",
+            nn.initializers.normal(0.02),
+            (2 * self.max_distance + 1, d),
+        )
+        dist = jnp.clip(jnp.arange(t_max) - index, -self.max_distance, self.max_distance)
+        rel = rel_table[dist + self.max_distance]  # [T, D]
+
+        scale = d ** -0.5
+        content = jnp.einsum("bhd,bjhd->bhj", q[:, 0], ck.value)
+        positional = jnp.einsum("bhd,jd->bhj", q[:, 0], rel)
+        logits = (content + positional) * scale
+        logits = jnp.where(jnp.arange(t_max)[None, None] <= index, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhj,bjhd->bhd", probs, cv.value).reshape(b, 1, h * d)
+        return nn.Dense(x.shape[-1], name="proj")(out)
+
 
 class _Block(nn.Module):
     num_heads: int
     head_dim: int
     max_distance: int
     mlp_ratio: int = 4
+    decode_length: int | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, index=None):
         y = RelativeSelfAttention(
-            self.num_heads, self.head_dim, self.max_distance, name="attn"
-        )(nn.LayerNorm(name="ln1")(x))
+            self.num_heads, self.head_dim, self.max_distance,
+            decode_length=self.decode_length, name="attn",
+        )(nn.LayerNorm(name="ln1")(x), index)
         x = x + y
         z = nn.LayerNorm(name="ln2")(x)
         z = nn.Dense(self.mlp_ratio * x.shape[-1], name="mlp_in")(z)
@@ -99,22 +137,47 @@ class CodePrior(nn.Module):
     depth: int = 2
     num_heads: int = 4
     max_distance: int = 16
+    decode_length: int | None = None  # KV-cache capacity; set via clone()
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @compact) so __call__ and decode share one set of
+        # submodules; attribute names keep the original param-tree layout
+        self.code_embed = nn.Embed(self.num_codes + 1, self.dim)
+        for i in range(self.depth):
+            setattr(
+                self,
+                f"block_{i}",
+                _Block(
+                    self.num_heads,
+                    self.dim // self.num_heads,
+                    self.max_distance,
+                    decode_length=self.decode_length,
+                ),
+            )
+        self.ln_f = nn.LayerNorm()
+        self.head = nn.Dense(self.num_codes)
+
     def __call__(self, codes: jnp.ndarray) -> jnp.ndarray:
         b, t = codes.shape
-        embed = nn.Embed(self.num_codes + 1, self.dim, name="code_embed")
         bos = jnp.full((b, 1), self.num_codes, codes.dtype)
-        x = embed(jnp.concatenate([bos, codes[:, :-1]], axis=1))
+        x = self.code_embed(jnp.concatenate([bos, codes[:, :-1]], axis=1))
         for i in range(self.depth):
-            x = _Block(
-                self.num_heads,
-                self.dim // self.num_heads,
-                self.max_distance,
-                name=f"block_{i}",
-            )(x)
-        x = nn.LayerNorm(name="ln_f")(x)
-        return nn.Dense(self.num_codes, name="head")(x)
+            x = getattr(self, f"block_{i}")(x)
+        return self.head(self.ln_f(x))
+
+    def decode(self, prev: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+        """One KV-cached decoding step (linear in T instead of the full
+        re-run's quadratic cost): ``prev [B]`` is the token at ``index - 1``
+        (ignored at index 0, where the BOS embedding is used) and the return
+        is next-code logits ``[B, num_codes]`` for position ``index``. Apply
+        with ``mutable=["cache"]`` on a ``clone(decode_length=T)`` module;
+        parity with the full forward is pinned in tests/test_relpos.py."""
+        assert self.decode_length is not None, "clone(decode_length=T) to decode"
+        tok = jnp.where(index == 0, jnp.full_like(prev, self.num_codes), prev)
+        x = self.code_embed(tok[:, None])
+        for i in range(self.depth):
+            x = getattr(self, f"block_{i}")(x, index)
+        return self.head(self.ln_f(x))[:, 0]
 
     @staticmethod
     def loss(logits: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:

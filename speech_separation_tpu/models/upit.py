@@ -115,6 +115,61 @@ def upit_blstm_pallas_forward(
     return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
 
 
+def upit_blstm_train_forward(
+    params,
+    magnitude: jnp.ndarray,
+    *,
+    num_layers: int = 3,
+    num_speakers: int = 2,
+    dropout_rate: float = 0.8,
+    dropout_rng=None,
+    compute_dtype=jnp.bfloat16,
+    tile_t: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable :class:`UPitBlstm` forward over the same parameter
+    tree, with each BiLSTM recurrence (forward AND backward-through-time) as
+    fused Pallas kernels (``ops/lstm_train_pallas.py``; a ``custom_vjp``, so
+    this composes with ``jax.grad``). Dense projections, mask heads and
+    dropout stay XLA.
+
+    ``dropout_rng=None`` disables dropout (eval); otherwise inter-layer
+    dropout matches the flax path's rate/scaling semantics (the random bits
+    come from a different stream derivation, so individual step losses
+    diverge statistically-equivalently from the ``lax.scan`` path —
+    deterministic-mode parity is exact and pinned in tests).
+    """
+    from ..ops.lstm_train_pallas import bilstm_train_pallas
+
+    def _dense(p, x):
+        return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+    x = magnitude.astype(compute_dtype)
+    h = jnp.tanh(_dense(params["input_proj"], x))
+    for layer in range(num_layers):
+        cells = params[f"bilstm_{layer}"]["cells"]
+        h = bilstm_train_pallas(
+            h,
+            cells["kernel"],
+            cells["recurrent_kernel"],
+            cells["bias"],
+            tile_t,
+            interpret,
+            compute_dtype,
+        ).astype(compute_dtype)
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, layer), 1.0 - dropout_rate, h.shape
+            )
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0).astype(h.dtype)
+    heads = params["heads"]
+    outs = []
+    for s in range(num_speakers):
+        mask = nn.relu(_dense(heads[f"mask_head_{s}"], h))
+        outs.append(mask * x)
+    return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+
 class UPitConv(nn.Module):
     """Raw-waveform uPIT separator with a learned conv front-end."""
 

@@ -69,45 +69,40 @@ def stack_tcn_weights(params, *, blocks: int, repeats: int):
         4: beta2 @ W_cat + bias_cat     5: colsum(gamma2 * W_cat)
         6: prelu1 alpha (broadcast)     7: prelu2 alpha (broadcast)
     """
-    we, wdw, wg, vecs = [], [], [], []
-    for r in range(repeats):
-        for x in range(blocks):
-            p = params[f"tcn_{r}_{x}"]
-            w_cat = jnp.concatenate(
-                [p["res_out"]["kernel"][0], p["skip_out"]["kernel"][0]], axis=1
-            )  # [hidden, 2*bottleneck]
-            b_cat = jnp.concatenate([p["res_out"]["bias"], p["skip_out"]["bias"]])
-            g2 = p["norm2"]["gamma"]
-            wgf = g2[:, None] * w_cat
-            hidden, out2 = w_cat.shape
-            vdim = max(hidden, out2)
-            ones = jnp.ones((hidden,), jnp.float32)
+    # single source of truth for the param-pytree -> stacked-array layout:
+    # derive the serving kernel's folded arrays from the canonical training
+    # stack so a flax param rename breaks exactly one stacker
+    from .tcn_train_pallas import stack_canonical
 
-            def _row(v, vdim=vdim):
-                return jnp.pad(v.astype(jnp.float32), (0, vdim - v.shape[0]))
+    we, wdw, wcat, cvecs = stack_canonical(params, blocks=blocks, repeats=repeats)
+    n, ch, out2 = wcat.shape
+    vdim = cvecs.shape[2]
+    g2 = cvecs[:, 4, :ch]  # norm2 gamma
+    b2 = cvecs[:, 5, :ch]  # norm2 beta
+    bcat = cvecs[:, 6, :out2]
+    wgf = g2[:, :, None] * wcat  # gamma2 folded into concat(res, skip)
 
-            we.append(p["expand"]["kernel"][0])
-            wdw.append(p["depthwise"]["kernel"][:, 0, :])
-            wg.append(wgf)
-            vecs.append(
-                jnp.stack(
-                    [
-                        _row(p["expand"]["bias"]),
-                        _row(p["norm1"]["gamma"]),
-                        _row(p["norm1"]["beta"]),
-                        _row(p["depthwise"]["bias"]),
-                        _row(p["norm2"]["beta"] @ w_cat + b_cat),
-                        _row(jnp.sum(wgf, axis=0)),
-                        _row(p["prelu1"]["alpha"][0] * ones),
-                        _row(p["prelu2"]["alpha"][0] * ones),
-                    ]
-                )
-            )
+    def _pad(v):  # [n, out2] -> [n, vdim]
+        return jnp.pad(v, ((0, 0), (0, vdim - v.shape[1])))
+
+    vecs = jnp.stack(
+        [
+            cvecs[:, 0],  # expand bias
+            cvecs[:, 1],  # norm1 gamma
+            cvecs[:, 2],  # norm1 beta
+            cvecs[:, 3],  # depthwise bias
+            _pad(jnp.einsum("nc,nco->no", b2, wcat) + bcat),
+            _pad(jnp.sum(wgf, axis=1)),
+            cvecs[:, 8],  # prelu1 alpha (broadcast)
+            cvecs[:, 9],  # prelu2 alpha (broadcast)
+        ],
+        axis=1,
+    )
     return (
-        jnp.stack(we).astype(jnp.bfloat16),
-        jnp.stack(wdw).astype(jnp.float32),
-        jnp.stack(wg).astype(jnp.bfloat16),
-        jnp.stack(vecs),
+        we.astype(jnp.bfloat16),
+        wdw.astype(jnp.float32),
+        wgf.astype(jnp.bfloat16),
+        vecs,
     )
 
 
@@ -273,7 +268,7 @@ def tcn_trunk_pallas(
     b, k, cb = h0.shape
     n, _, ch = we.shape
     assert len(dils) == n
-    ck = min(chunk, _round_up(k, 16))
+    ck = min(_round_up(chunk, 16), _round_up(k, 16))  # ck % 16 == 0 keeps the pl.multiple_of slab-row hint sound
     k_pad = _round_up(k, ck)
     h0p = h0.astype(jnp.bfloat16)
     if k_pad != k:

@@ -580,7 +580,7 @@ def _fwd_call(h0, we, wdw, wcat, vecs, *, dils, taps, chunk, interpret):
     b, k, cb = h0.shape
     n, _, ch = we.shape
     vdim = vecs.shape[2]
-    ck = min(chunk, _round_up(k, 16))
+    ck = min(_round_up(chunk, 16), _round_up(k, 16))  # ck % 16 == 0 keeps the pl.multiple_of slab-row hint sound
     k_pad = _round_up(k, ck)
     h0p = h0.astype(_SLAB)
     if k_pad != k:
@@ -631,7 +631,7 @@ def _bwd_call(h0_shape, we, wdw, wcat, vecs, hb, st, dskip, *, dils, taps, chunk
     b, k, cb = h0_shape
     n, _, ch = we.shape
     vdim = vecs.shape[2]
-    ck = min(chunk, _round_up(k, 16))
+    ck = min(_round_up(chunk, 16), _round_up(k, 16))  # ck % 16 == 0 keeps the pl.multiple_of slab-row hint sound
     k_pad = _round_up(k, ck)
     ds32 = dskip.astype(jnp.float32)
     if k_pad != k:

@@ -37,6 +37,8 @@ __all__ = [
     "make_prior_steps",
     "sample_codes",
     "code_metrics",
+    "empirical_token_entropy",
+    "distinct_n",
     "encode_split",
     "TokenWindowLoader",
 ]
@@ -151,29 +153,106 @@ def sample_codes(
 ) -> jnp.ndarray:
     """Autoregressively sample ``[1, num_groups · layout.group]`` tokens.
 
-    One jitted single-token step re-runs the (small) causal transformer on
-    the fixed-length buffer each iteration — position ``t``'s logits depend
-    only on tokens ``< t``, so the not-yet-written tail is inert. Each
-    position's logits are masked to its vocabulary segment (stream grammar).
+    KV-cached incremental decoding (``CodePrior.decode``) inside one jitted
+    ``lax.scan`` — cost linear in sequence length (the round-2 version
+    re-ran the full transformer per token: O(T²), unusable beyond demo
+    lengths). Each position's logits are masked to its vocabulary segment
+    (stream grammar); numerics match the full forward (tests/test_relpos.py).
     """
     total = num_groups * layout.group
     vocab = layout.vocab
     table = jnp.asarray(layout.segment_table())  # [group, 2]
     arange = jnp.arange(vocab)
+    dmodel = model.clone(decode_length=total)
+    inv_temp = 1.0 / max(temperature, 1e-6)
+
+    # create the (zeroed) KV cache without running a step
+    cache0 = jax.eval_shape(
+        lambda: dmodel.apply(
+            {"params": params},
+            jnp.zeros((1,), jnp.int32),
+            jnp.int32(0),
+            method=type(model).decode,
+            mutable=["cache"],
+        )[1]["cache"]
+    )
+    cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cache0)
 
     @jax.jit
-    def step(tokens, t, key):
-        logits = model.apply({"params": params}, tokens)[0, t]
-        offset, size = table[t % layout.group, 0], table[t % layout.group, 1]
-        mask = (arange >= offset) & (arange < offset + size)
-        logits = jnp.where(mask, logits, -1e30)
-        return jax.random.categorical(key, logits / jnp.maximum(temperature, 1e-6))
+    def run(cache, keys):
+        def body(carry, inp):
+            cache, prev = carry
+            t, key = inp
+            logits, mut = dmodel.apply(
+                {"params": params, "cache": cache},
+                prev,
+                t,
+                method=type(model).decode,
+                mutable=["cache"],
+            )
+            offset, size = table[t % layout.group, 0], table[t % layout.group, 1]
+            mask = (arange >= offset) & (arange < offset + size)
+            tok = jax.random.categorical(
+                key, jnp.where(mask, logits[0] * inv_temp, -jnp.inf)
+            )
+            tok1 = jnp.full((1,), tok, jnp.int32)
+            return (mut["cache"], tok1), tok
+        (_, _), toks = jax.lax.scan(
+            body, (cache, jnp.zeros((1,), jnp.int32)), (jnp.arange(total), keys)
+        )
+        return toks
 
-    tokens = jnp.zeros((1, total), jnp.int32)
-    keys = jax.random.split(rng, total)
-    for t in range(total):
-        tokens = tokens.at[0, t].set(step(tokens, jnp.asarray(t), keys[t]))
-    return tokens
+    return run(cache0, jax.random.split(rng, total))[None, :]
+
+
+def empirical_token_entropy(windows: np.ndarray, layout: TokenLayout) -> dict[str, float]:
+    """Entropy baselines for prior calibration (nats/token).
+
+    A next-token loss means nothing in isolation: a near-deterministic code
+    stream makes tiny losses trivially achievable (memorization), while a
+    high-entropy stream makes them impossible. This reports the two unigram
+    ceilings any *context-free* predictor is bound by:
+
+    - ``marginal_nats``: H of the pooled token distribution;
+    - ``positional_nats``: mean over position-in-group of H(token | p) —
+      the tighter ceiling, since each position owns a vocab segment.
+
+    A prior's nats/token below ``positional_nats`` measures real context
+    modeling; the gap to zero measures how predictable the stream is."""
+    windows = np.asarray(windows)
+    flat = windows.reshape(-1)
+
+    def _h(counts: np.ndarray) -> float:
+        p = counts / max(counts.sum(), 1)
+        nz = p[p > 0]
+        return float(-np.sum(nz * np.log(nz)))
+
+    marginal = _h(np.bincount(flat, minlength=layout.vocab))
+    g = layout.group
+    pos_h = []
+    for p in range(g):
+        toks = windows[:, p::g].reshape(-1)
+        pos_h.append(_h(np.bincount(toks, minlength=layout.vocab)))
+    return {
+        "marginal_nats": round(marginal, 4),
+        "positional_nats": round(float(np.mean(pos_h)), 4),
+        "positional_bits": round(float(np.mean(pos_h) / np.log(2.0)), 4),
+    }
+
+
+def distinct_n(tokens: np.ndarray, n: int = 3) -> float:
+    """Sample-diversity: fraction of distinct n-grams across token streams
+    (1.0 = every n-gram unique; near 0 = the sampler loops/collapses)."""
+    tokens = np.asarray(tokens)
+    if tokens.ndim == 1:
+        tokens = tokens[None]
+    grams = set()
+    total = 0
+    for row in tokens:
+        for i in range(len(row) - n + 1):
+            grams.add(tuple(int(x) for x in row[i : i + n]))
+            total += 1
+    return round(len(grams) / max(total, 1), 4)
 
 
 def code_metrics(indices: np.ndarray, num_codes: int) -> dict[str, float]:

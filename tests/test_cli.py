@@ -230,6 +230,39 @@ def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
         ref = np.square(a[:n]).mean() + 1e-12
         assert err < 1e-2 * ref, f.name
 
+    # regression: the chunked path feeds the device per-chunk from host; it
+    # must NOT pad/shard (= transfer) the full-utterance batch first. The
+    # chunk batches themselves still shard over the mesh under --dp.
+    import speech_separation_tpu.parallel.sharding as _sh
+
+    def _must_not_be_called(*a, **k):
+        raise AssertionError("full-batch pad_batch_for_mesh on the chunked path")
+
+    orig = _sh.pad_batch_for_mesh
+    _sh.pad_batch_for_mesh = _must_not_be_called
+    try:
+        chunk_dir = tmp_path / "tasnet_sep_chunked_dp"
+        out = _run(
+            capsys,
+            [
+                "separate",
+                "--checkpoint-dir",
+                str(ckpt_dir),
+                "--data-root",
+                str(fixture_root),
+                "--out-dir",
+                str(chunk_dir),
+                "--chunk-seconds",
+                "1.0",
+                "--chunk-overlap-seconds",
+                "0.25",
+                "--dp",
+            ],
+        )
+        assert json.loads(out[-1])["written"] == 8
+    finally:
+        _sh.pad_batch_for_mesh = orig
+
 
 def test_gumbel_codec_encode_decode_cli(fixture_root, tmp_path, capsys):
     """Full tokenizer chain at the CLI surface: wav → codes.npy → wav."""

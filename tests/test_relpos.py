@@ -64,3 +64,32 @@ def test_code_prior_trains_to_memorize():
     # greedy decode reproduces the memorised sequence (teacher-forced logits)
     logits = model.apply(params, codes)
     np.testing.assert_array_equal(np.asarray(jnp.argmax(logits, -1))[0], np.asarray(codes)[0])
+
+
+def test_code_prior_kv_decode_matches_full_forward():
+    """Incremental KV-cached decoding (CodePrior.decode) is numerically
+    identical to the full causal forward at every position — the O(T) VERDICT
+    r2 #5 sampler computes the same distribution the prior was trained on."""
+    import numpy as np
+
+    layout_group = 5
+    T = 4 * layout_group
+    model = CodePrior(num_codes=24, dim=32, depth=2, num_heads=2, max_distance=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, T), jnp.int32))["params"]
+    toks = jax.random.randint(jax.random.key(1), (1, T), 0, 24)
+
+    full = model.apply({"params": params}, toks)  # [1, T, V]
+
+    dm = model.clone(decode_length=T)
+    cache = None
+    prev = jnp.zeros((1,), jnp.int32)
+    for t in range(T):
+        variables = {"params": params} if cache is None else {"params": params, "cache": cache}
+        logits, mut = dm.apply(
+            variables, prev, jnp.int32(t), method=CodePrior.decode, mutable=["cache"]
+        )
+        cache = mut["cache"]
+        np.testing.assert_allclose(
+            np.asarray(logits[0]), np.asarray(full[0, t]), atol=1e-4
+        )
+        prev = toks[:, t]

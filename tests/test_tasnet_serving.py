@@ -115,3 +115,65 @@ class TestFusedServingParity:
         out = fused_apply(params, mix, dtype=jnp.bfloat16)
         assert out.shape == (1, 2, 2048)
         assert out.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("win", [16, 32])
+@pytest.mark.parametrize("dtype", ["fp32", "bf16"])
+def test_forward_contract_matrix(win, dtype):
+    """THE TasNet forward contract: all four implementations of the forward
+    (flax module, fused_apply, Pallas serving trunk, Pallas training trunk)
+    compute the same function over one param pytree, across dtypes and
+    encoder windows. Both Pallas paths stack weights through the single
+    canonical stacker (``stack_canonical``), so a param rename or layout
+    drift in any path fails here, loudly, in one place."""
+    from speech_separation_tpu.models.tasnet_serving import (
+        _encode_and_project,
+        _mask_and_decode,
+        pallas_apply,
+    )
+    from speech_separation_tpu.ops.tcn_train_pallas import (
+        stack_canonical,
+        tcn_trunk_train,
+    )
+
+    cfg = dict(
+        num_speakers=2, enc_dim=64, win=win, bottleneck=32, hidden=48,
+        kernel=3, blocks=4, repeats=2,
+    )
+    model = ConvTasNet(**cfg)
+    mix = jax.random.normal(jax.random.key(7), (2, 1024), jnp.float32) * 0.3
+    params = model.init(jax.random.key(0), mix)["params"]
+    ref32 = np.asarray(model.apply({"params": params}, mix))
+
+    if dtype == "fp32":
+        # the Pallas paths are bf16-by-contract; the fp32 row of the matrix
+        # covers flax == fused at near-exact precision
+        est = np.asarray(fused_apply(params, mix, dtype=None, **cfg))
+        assert _snr_db(ref32, est) > 90.0
+        return
+
+    ref_bf16 = np.asarray(model.clone(dtype=jnp.bfloat16).apply({"params": params}, mix))
+    outs = {"flax_bf16": ref_bf16}
+    outs["fused"] = np.asarray(fused_apply(params, mix, dtype=jnp.bfloat16, **cfg))
+    outs["pallas_serve"] = np.asarray(pallas_apply(params, mix, interpret=True, **cfg))
+
+    # training trunk composed into the same wave-to-wave pipeline
+    stride = win // 2
+    feats, h = _encode_and_project(params, mix, stride, jnp.bfloat16)
+    we, wdw, wcat, vecs = stack_canonical(
+        params, blocks=cfg["blocks"], repeats=cfg["repeats"]
+    )
+    dils = tuple(2**x for _ in range(cfg["repeats"]) for x in range(cfg["blocks"]))
+    skip = tcn_trunk_train(
+        h, we, wdw, wcat, vecs, dils, taps=cfg["kernel"], interpret=True
+    )
+    outs["pallas_train"] = np.asarray(
+        _mask_and_decode(
+            params, feats, skip, cfg["num_speakers"], cfg["enc_dim"], stride,
+            mix.shape[1], jnp.bfloat16,
+        )
+    )
+
+    for name, est in outs.items():
+        assert est.shape == ref32.shape, name
+        assert _snr_db(ref32, est) > 22.0, (name, _snr_db(ref32, est))
