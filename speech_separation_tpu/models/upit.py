@@ -19,11 +19,17 @@ the separation pipeline treat them uniformly.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .blstm import BiLSTM
 
-__all__ = ["UPitBlstm", "UPitConv", "upit_blstm_pallas_forward"]
+__all__ = [
+    "UPitBlstm",
+    "UPitConv",
+    "upit_blstm_pallas_forward",
+    "upit_blstm_train_forward",
+]
 
 
 class _MaskHeads(nn.Module):

@@ -38,6 +38,7 @@ def make_upit_waveform_steps(
     num_speakers: int = 2,
     donate_state: bool = True,
     compute_dtype=None,
+    pallas_scan: bool = False,
 ):
     """Steps over (mix [B,S], sources [B,n,S], frame_lengths [B]).
 
@@ -45,7 +46,18 @@ def make_upit_waveform_steps(
     in bf16 (mixed precision: fp32 master weights cast inside the step, DSP
     features, PIT loss and optimizer update stay fp32 — the gradient of the
     cast delivers fp32 grads to Adam).
+
+    ``pallas_scan=True`` runs every BiLSTM recurrence — forward AND
+    backward-through-time — as fused Pallas kernels
+    (``ops/lstm_train_pallas.py``) over the same param pytree; dense layers,
+    DSP, loss and optimizer stay XLA. Same checkpoints. Dropout uses a
+    different RNG stream derivation than the flax path (statistically
+    equivalent; deterministic-mode losses/grads match to fp rounding).
     """
+    if pallas_scan:
+        from ..models.upit import upit_blstm_train_forward
+
+        interp = jax.default_backend() != "tpu"
 
     def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
         feats = psm_features(mix, sources, size, shift)
@@ -57,7 +69,19 @@ def make_upit_waveform_steps(
         if compute_dtype is not None:
             p = jax.tree.map(lambda x: x.astype(compute_dtype), params)
             net_in = net_in.astype(compute_dtype)
-        preds = model.apply({"params": p}, net_in, **kwargs).astype(jnp.float32)
+        if pallas_scan:
+            preds = upit_blstm_train_forward(
+                p,
+                net_in,
+                num_layers=model.num_layers,
+                num_speakers=model.num_speakers,
+                dropout_rate=model.dropout_rate,
+                dropout_rng=None if deterministic else dropout_rng,
+                compute_dtype=compute_dtype or jnp.float32,
+                interpret=interp,
+            ).astype(jnp.float32)
+        else:
+            preds = model.apply({"params": p}, net_in, **kwargs).astype(jnp.float32)
         return pit_loss(preds, feats.labels, frame_lengths, num_speakers)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())

@@ -1,0 +1,95 @@
+"""Online streaming separation: causal stitching + permutation stability.
+
+``StreamingSeparator`` must (a) emit hops that concatenate to the sources
+when the model is perfect, (b) undo arbitrary per-window channel swaps
+using only causal context, and (c) on a real (briefly-trained) model, track
+the full-utterance separation closely despite window-local gLN stats.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from speech_separation_tpu.separate.streaming import stream_separate
+
+
+def _snr_db(ref, est):
+    ref = np.asarray(ref, np.float64)
+    est = np.asarray(est, np.float64)
+    return 10 * np.log10(np.square(ref).sum() / max(np.square(ref - est).sum(), 1e-30))
+
+
+def test_streaming_realigns_swapped_windows():
+    sr, seconds = 8000, 4.0
+    t = np.arange(int(sr * seconds)) / sr
+    s1 = np.sin(2 * np.pi * 220 * t).astype(np.float32) * 0.5
+    s2 = np.sign(np.sin(2 * np.pi * 50 * t)).astype(np.float32) * 0.3
+    mix = s1 + s2
+    hop, context = int(0.5 * sr), int(1.5 * sr)
+    window = hop + context
+    calls = [0]
+
+    def swapping_apply(batch):
+        # oracle separator with a channel swap on odd calls; the window ends
+        # at sample (calls+1)*hop of the padded stream, zero-padded on the
+        # left before enough audio has arrived
+        i = calls[0]
+        calls[0] += 1
+        end = (i + 1) * hop
+        seg = np.zeros((2, window), np.float32)
+        for k, src in enumerate((s1, s2)):
+            lo = max(0, end - window)
+            piece = src[lo:end]
+            seg[k, window - piece.shape[0] :] = piece
+        if i % 2 == 1:
+            seg = seg[::-1]
+        return jnp.asarray(seg[None])
+
+    out, latencies = stream_separate(
+        swapping_apply, mix, sample_rate=sr, hop_seconds=0.5, context_seconds=1.5
+    )
+    assert out.shape == (2, mix.shape[0])
+    assert len(latencies) == 8
+    assert _snr_db(s1, out[0]) > 40.0
+    assert _snr_db(s2, out[1]) > 40.0
+
+
+def test_streaming_close_to_full_utterance():
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    cfg = dict(num_speakers=2, enc_dim=32, win=16, bottleneck=16, hidden=32,
+               kernel=3, blocks=3, repeats=1)
+    model = ConvTasNet(**cfg)
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    s1 = (np.sin(2 * np.pi * 200 * t) * 0.3).astype(np.float32)
+    s2 = (np.sin(2 * np.pi * 1500 * t) * 0.3).astype(np.float32)
+    sources = jnp.asarray(np.stack([s1, s2])[None])
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([t.size])
+
+    rng = jax.random.key(0)
+    params = model.init(rng, mix[:, :8000])["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(2e-3), rng)
+    ts, _ = train.make_time_domain_steps(model, donate_state=False)
+    for _ in range(60):
+        state, _ = ts(state, mix, sources, lengths)
+
+    apply_fn = jax.jit(lambda m: model.apply({"params": state.params}, m))
+    full = np.asarray(apply_fn(mix))[0]
+    online, _ = stream_separate(
+        apply_fn, np.asarray(mix[0]), sample_rate=sr,
+        hop_seconds=0.5, context_seconds=1.5,
+    )
+    if _snr_db(full[0], online[0]) < _snr_db(full[0], online[1]):
+        online = online[::-1]
+    # online separation quality survives (window-local stats + no lookahead
+    # cost a little vs offline; the first hops see mostly zero context)
+    q_full = min(_snr_db(s1, full[0]), _snr_db(s2, full[1]))
+    skip = sr  # ignore the cold-start second
+    q_online = min(
+        _snr_db(s1[skip:], online[0][skip:]), _snr_db(s2[skip:], online[1][skip:])
+    )
+    assert q_online > q_full - 3.0, (q_full, q_online)
