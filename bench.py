@@ -39,6 +39,7 @@ FLOORS = {
     "tasnet_pallas_win16_x_realtime": 5300,
     "tasnet_pallas_win32_x_realtime": 9200,
     "tasnet_train_bf16_audio_s_per_s": 1200,
+    "blstm_train_pallas_audio_s_per_s": 5000,
 }
 
 
@@ -184,6 +185,48 @@ def bench_tasnet_train(batch=16, seconds=4, iters=10):
     return measure
 
 
+def bench_blstm_train(batch=32, seconds=8, iters=8, pallas=True):
+    """Flagship uPIT BLSTM bf16 train step (STFT+PSM+fwd+PIT+bwd+Adam);
+    pallas=True runs both recurrences as fused Pallas kernels
+    (ops/lstm_train_pallas.py — +84% over the lax.scan path on chip).
+    Returns a measure() closure."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import UPitBlstm
+    from speech_separation_tpu.ops import stft_frame_count
+
+    samples = 8000 * seconds
+    model = UPitBlstm()
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
+    state = train.TrainState.create(
+        model.apply, params, train.exponential_decay_adam(), rng
+    )
+    step, _ = train.make_upit_waveform_steps(
+        model, donate_state=False, compute_dtype=jnp.bfloat16, pallas_scan=pallas
+    )
+    gen = np.random.default_rng(0)
+    sources = jnp.asarray(gen.standard_normal((batch, 2, samples)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    fl = jnp.full((batch,), stft_frame_count(samples, 256, 128), jnp.int32)
+    box = [state]
+    box[0], loss = step(box[0], mix, sources, fl)
+    box[0], loss = step(box[0], mix, sources, fl)
+    float(loss)
+
+    def measure():
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(iters):
+            box[0], loss = step(box[0], mix, sources, fl)
+        float(loss)
+        return batch * seconds * iters / (time.perf_counter() - t0)
+
+    return measure
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -200,6 +243,7 @@ def main() -> None:
         "tasnet_pallas_win16_x_realtime": bench_tasnet(win=16, kernel="pallas"),
         "tasnet_pallas_win32_x_realtime": bench_tasnet(win=32, kernel="pallas"),
         "tasnet_train_bf16_audio_s_per_s": bench_tasnet_train(),
+        "blstm_train_pallas_audio_s_per_s": bench_blstm_train(pallas=True),
     }
 
     samples: dict[str, list[float]] = {k: [] for k in measures}

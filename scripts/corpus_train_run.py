@@ -68,7 +68,11 @@ def main():
         model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
     )
     train_step, eval_step = train.make_upit_waveform_steps(
-        model, compute_dtype=jnp.bfloat16
+        model,
+        compute_dtype=jnp.bfloat16,
+        # PALLAS=1: fused Pallas fwd+bwd BiLSTM recurrences (+84% step
+        # throughput at batch 32 x 8 s; see RESULTS.md)
+        pallas_scan=bool(int(os.environ.get("PALLAS", "0"))),
     )
 
     def batch_arrays(b):
@@ -81,6 +85,9 @@ def main():
         sort_by_length=True,
         drop_remainder=shuffle,
         seed=0,
+        # under the Pallas recurrence kernels, bound the number of distinct
+        # padded shapes (each fresh shape remote-compiles 2 kernels in ~min)
+        pad_quantum_seconds=2.0 if os.environ.get("PALLAS", "0") != "0" else 1.0,
     )
     OUT.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(OUT / "metrics.jsonl")
@@ -107,6 +114,7 @@ def main():
     si_i = eval_si_sdri(BAND, sep_dir, split="test")
     summary = {
         "corpus_profile": PROFILE,
+        "pallas_scan": bool(int(os.environ.get("PALLAS", "0"))),
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],

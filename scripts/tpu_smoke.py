@@ -85,6 +85,27 @@ def main():
         last = float(evl(state, mix, sources, fl))
         assert np.isfinite(last) and last < first, (first, last)
 
+    @stage("pallas BiLSTM train recurrence == scan (eval loss)")
+    def _():
+        from speech_separation_tpu import train
+        from speech_separation_tpu.models import UPitBlstm
+        from speech_separation_tpu.ops import stft_frame_count
+
+        model = UPitBlstm(hidden=32, num_layers=2)
+        key = jax.random.key(1)
+        params = model.init(key, jnp.zeros((1, 8, 129)))["params"]
+        state = train.TrainState.create(model.apply, params, train.adam(1e-3), key)
+        _, ev_ref = train.make_upit_waveform_steps(model, donate_state=False)
+        _, ev_pal = train.make_upit_waveform_steps(
+            model, donate_state=False, pallas_scan=True
+        )
+        sources = jnp.asarray(rng.standard_normal((2, 2, 16000)).astype(np.float32) * 0.1)
+        mix = sources.sum(axis=1)
+        fl = jnp.full((2,), stft_frame_count(16000, 256, 128), jnp.int32)
+        a = float(ev_ref(state, mix, sources, fl))
+        b = float(ev_pal(state, mix, sources, fl))
+        assert abs(a - b) / abs(a) < 2e-3, (a, b)
+
 
 if __name__ == "__main__":
     main()

@@ -230,6 +230,26 @@ def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
         ref = np.square(a[:n]).mean() + 1e-12
         assert err < 1e-2 * ref, f.name
 
+    # online streaming mode: hop-by-hop causal serving through the same CLI
+    stream_dir = tmp_path / "tasnet_sep_streaming"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(stream_dir),
+            "--streaming-hop-seconds",
+            "0.5",
+        ],
+    )
+    payload = json.loads(out[-1])
+    assert payload["written"] == 8
+    assert payload["median_hop_latency_ms"] > 0
+
     # regression: the chunked path feeds the device per-chunk from host; it
     # must NOT pad/shard (= transfer) the full-utterance batch first. The
     # chunk batches themselves still shard over the mesh under --dp.
