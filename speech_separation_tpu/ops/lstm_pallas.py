@@ -31,9 +31,16 @@ VMEM, which serialises 4× more (4× smaller) recurrent matmuls than the
 scan's single full-batch step; configs with ``tile_b ≥ 64`` fail Mosaic
 compilation on this runtime. Like the double-buffered Pallas STFT
 (``stft_pallas.py``), this is kept as validated groundwork with an honest
-negative result — the production serving path stays on ``lax.scan``, whose
+negative result — large-batch serving stays on ``lax.scan``, whose
 "overhead" turns out to be smaller than the MXU-utilisation cost of batch
 tiling.
+
+Round-3 epilogue: the diagnosis above (scan overhead is real, batch tiling
+is the killer) led to ``ops/lstm_train_pallas.py`` — at training batches
+(≤64 utterances) the whole doubled-direction row block fits ONE matmul per
+step, no tiling needed, and the fused fwd+bwd recurrences win +84% on the
+train step (and +21% serving latency at batch 1). This module remains the
+record of why the serving-throughput regime is different.
 """
 
 from __future__ import annotations
