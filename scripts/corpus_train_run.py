@@ -67,28 +67,50 @@ def main():
     state = train.TrainState.create(
         model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
     )
-    train_step, eval_step = train.make_upit_waveform_steps(
-        model,
-        compute_dtype=jnp.bfloat16,
-        # PALLAS=1: fused Pallas fwd+bwd BiLSTM recurrences (+84% step
-        # throughput at batch 32 x 8 s; see RESULTS.md)
-        pallas_scan=bool(int(os.environ.get("PALLAS", "0"))),
-    )
+    pallas = bool(int(os.environ.get("PALLAS", "0")))
+    packed = bool(int(os.environ.get("PACK", "0")))
+    if packed:
+        # PACK=1: sequence-packed rows (one static shape, zero padding
+        # waste, exact per-utterance semantics — data/packing.py)
+        probe = data.PackedWaveformLoader(BAND / "train-360", rows_per_batch=16)
+        train_step, eval_step = train.make_upit_packed_steps(
+            model, compute_dtype=jnp.bfloat16, pallas_scan=pallas,
+            num_segments=probe.num_segments,
+        )
 
-    def batch_arrays(b):
-        return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_lengths))
+        def batch_arrays(b):
+            return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_seg))
 
-    make_loader = lambda split, shuffle: data.WaveformLoader(
-        BAND / split,
-        batch_size=8,
-        shuffle=shuffle,
-        sort_by_length=True,
-        drop_remainder=shuffle,
-        seed=0,
-        # under the Pallas recurrence kernels, bound the number of distinct
-        # padded shapes (each fresh shape remote-compiles 2 kernels in ~min)
-        pad_quantum_seconds=2.0 if os.environ.get("PALLAS", "0") != "0" else 1.0,
-    )
+        make_loader = lambda split, shuffle: data.PackedWaveformLoader(
+            BAND / split,
+            rows_per_batch=16,
+            shuffle=shuffle,
+            drop_remainder=shuffle,
+            seed=0,
+        )
+    else:
+        train_step, eval_step = train.make_upit_waveform_steps(
+            model,
+            compute_dtype=jnp.bfloat16,
+            # PALLAS=1: fused Pallas fwd+bwd BiLSTM recurrences (+84% step
+            # throughput at batch 32 x 8 s; see RESULTS.md)
+            pallas_scan=pallas,
+        )
+
+        def batch_arrays(b):
+            return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_lengths))
+
+        make_loader = lambda split, shuffle: data.WaveformLoader(
+            BAND / split,
+            batch_size=8,
+            shuffle=shuffle,
+            sort_by_length=True,
+            drop_remainder=shuffle,
+            seed=0,
+            # under the Pallas recurrence kernels, bound the number of distinct
+            # padded shapes (each fresh shape remote-compiles 2 kernels in ~min)
+            pad_quantum_seconds=2.0 if pallas else 1.0,
+        )
     OUT.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(OUT / "metrics.jsonl")
     t0 = time.time()
@@ -115,6 +137,7 @@ def main():
     summary = {
         "corpus_profile": PROFILE,
         "pallas_scan": bool(int(os.environ.get("PALLAS", "0"))),
+        "packed": bool(int(os.environ.get("PACK", "0"))),
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],

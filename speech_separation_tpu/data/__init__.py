@@ -9,6 +9,7 @@ from .datasets import (
     background_iterator,
     prefetch_to_device,
 )
+from .packing import PackedBatch, PackedWaveformLoader
 from .features import FeatureConfig, generate_librimix, generate_split, max_length, utterance_names
 from .fixture import make_synthetic_fixture, make_synthetic_librimix
 from .speaker_info import load_speaker_genders, mixture_genders
@@ -33,6 +34,8 @@ __all__ = [
     "load_tfrecord_spectrograms",
     "background_iterator",
     "prefetch_to_device",
+    "PackedBatch",
+    "PackedWaveformLoader",
     "FeatureConfig",
     "generate_split",
     "generate_librimix",

@@ -79,6 +79,38 @@ def _round_up(value: int, quantum: int) -> int:
     return ((value + quantum - 1) // quantum) * quantum
 
 
+def load_utterance_batch(split_dir, names, num_speakers: int, sample_rate: int):
+    """Decode ``(mix, [s1..sN])`` for every name, using the native C++
+    thread-pool decoder when available and no resampling is needed."""
+    split_dir = pathlib.Path(split_dir)
+    try:
+        from .. import native
+    except ImportError:
+        native = None
+    if native is not None and native.available():
+        paths = [split_dir / "mix" / n for n in names]
+        for i in range(num_speakers):
+            paths += [split_dir / f"s{i + 1}" / n for n in names]
+        decoded = native.wav_read_batch(paths)
+        if all(sr == sample_rate for _, sr in decoded):
+            b = len(names)
+            mixes = [d for d, _ in decoded[:b]]
+            sources = [
+                [decoded[(s + 1) * b + i][0] for s in range(num_speakers)]
+                for i in range(b)
+            ]
+            return list(zip(mixes, sources))
+    out = []
+    for n in names:
+        mix = audioread(split_dir / "mix" / n, sample_rate)
+        srcs = [
+            audioread(split_dir / f"s{i + 1}" / n, sample_rate)
+            for i in range(num_speakers)
+        ]
+        out.append((mix, srcs))
+    return out
+
+
 @dataclass
 class WaveformLoader:
     """Batches of (mix, s1..sN) waveforms from a wsj0-2mix style split dir."""
@@ -126,26 +158,9 @@ class WaveformLoader:
         return mix, sources
 
     def _load_batch(self, names):
-        """Decode a whole batch, using the native thread pool when available
-        and no resampling is needed."""
-        try:
-            from .. import native
-        except ImportError:
-            native = None
-        if native is not None and native.available():
-            paths = [self.split_dir / "mix" / n for n in names]
-            for i in range(self.num_speakers):
-                paths += [self.split_dir / f"s{i + 1}" / n for n in names]
-            decoded = native.wav_read_batch(paths)
-            if all(sr == self.sample_rate for _, sr in decoded):
-                b = len(names)
-                mixes = [d for d, _ in decoded[:b]]
-                sources = [
-                    [decoded[(s + 1) * b + i][0] for s in range(self.num_speakers)]
-                    for i in range(b)
-                ]
-                return list(zip(mixes, sources))
-        return [self._load_one(n) for n in names]
+        return load_utterance_batch(
+            self.split_dir, names, self.num_speakers, self.sample_rate
+        )
 
     def __iter__(self) -> Iterator[WaveformBatch]:
         order = np.arange(len(self.names))

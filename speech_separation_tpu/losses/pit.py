@@ -27,7 +27,7 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["pit_loss", "pairwise_pit_costs", "pit_si_sdr_loss"]
+__all__ = ["pit_loss", "pit_loss_packed", "pairwise_pit_costs", "pit_si_sdr_loss"]
 
 
 def _split_speakers(x: jnp.ndarray, num_speakers: int) -> jnp.ndarray:
@@ -85,6 +85,52 @@ def pit_loss(
         return jnp.mean(per_utt)
     if reduction == "none":
         return per_utt
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def pit_loss_packed(
+    preds: jnp.ndarray,
+    labels: jnp.ndarray,
+    frame_seg: jnp.ndarray,
+    num_speakers: int = 2,
+    num_segments: int = 8,
+    reduction: str = "sum",
+) -> jnp.ndarray:
+    """:func:`pit_loss` for sequence-packed batches.
+
+    Each batch row holds several utterances packed end-to-end (see
+    ``data/packing.py``); ``frame_seg [B, T]`` assigns every frame its
+    within-row segment id in ``[0, num_segments)``, with ``-1`` for guard
+    and tail frames that belong to no utterance. The permutation search,
+    length normalisation and batch reduction run **per segment**, so the
+    value equals the sum (or mean) of :func:`pit_loss` evaluated on each
+    utterance individually — packing changes the batching, not the
+    objective (parity pinned in ``tests/test_packed.py``).
+
+    Guard/tail frames are excluded by the segment one-hot (``-1`` matches
+    no segment), so neither predictions nor labels there contribute.
+    """
+    preds = _split_speakers(preds, num_speakers)
+    labels = _split_speakers(labels, num_speakers)
+    diff = preds[:, :, :, None, :] - labels[:, :, None, :, :]  # [B,T,Se,Sl,F]
+    pair_frame = jnp.sum(jnp.square(diff), axis=-1)  # [B, T, Se, Sl]
+    onehot = (frame_seg[..., None] == jnp.arange(num_segments)).astype(preds.dtype)
+    seg_pair = jnp.einsum("btij,btg->bgij", pair_frame, onehot)  # [B, G, Se, Sl]
+    seg_len = jnp.sum(onehot, axis=1)  # [B, G] frames per segment
+
+    perms = list(itertools.permutations(range(num_speakers)))
+    idx = jnp.arange(num_speakers)
+    per_perm = jnp.stack(
+        [seg_pair[:, :, idx, jnp.asarray(p)].sum(axis=-1) for p in perms], axis=-1
+    )  # [B, G, S!]
+    best = jnp.min(per_perm, axis=-1)  # [B, G]
+    per_seg = jnp.where(seg_len > 0, best / jnp.maximum(seg_len, 1.0), 0.0)
+    if reduction == "sum":
+        return jnp.sum(per_seg)
+    if reduction == "mean":
+        return jnp.sum(per_seg) / jnp.maximum(jnp.sum(seg_len > 0), 1)
+    if reduction == "none":
+        return per_seg
     raise ValueError(f"unknown reduction {reduction!r}")
 
 

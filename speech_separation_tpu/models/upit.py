@@ -60,11 +60,19 @@ class UPitBlstm(nn.Module):
     remat: bool = False  # rematerialise BiLSTM layers: trade FLOPs for HBM
 
     @nn.compact
-    def __call__(self, magnitude: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        magnitude: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        segment_ids: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         h = nn.tanh(nn.Dense(self.hidden, name="input_proj")(magnitude))
         layer_cls = nn.remat(BiLSTM) if self.remat else BiLSTM
         for i in range(self.num_layers):
-            h = layer_cls(self.hidden, unroll=self.unroll, name=f"bilstm_{i}")(h)
+            h = layer_cls(self.hidden, unroll=self.unroll, name=f"bilstm_{i}")(
+                h, segment_ids
+            )
             h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return _MaskHeads(self.output_size, self.num_speakers, name="heads")(h, magnitude)
 
@@ -132,6 +140,7 @@ def upit_blstm_train_forward(
     compute_dtype=jnp.bfloat16,
     tile_t: int = 16,
     interpret: bool = False,
+    segment_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Differentiable :class:`UPitBlstm` forward over the same parameter
     tree, with each BiLSTM recurrence (forward AND backward-through-time) as
@@ -144,25 +153,52 @@ def upit_blstm_train_forward(
     come from a different stream derivation, so individual step losses
     diverge statistically-equivalently from the ``lax.scan`` path —
     deterministic-mode parity is exact and pinned in tests).
+
+    ``segment_ids [B, T]`` (sequence packing, ``data/packing.py``) routes
+    the recurrences through the packed kernel variant with carry resets at
+    segment changes — same semantics as the flax path's ``segment_ids``.
     """
-    from ..ops.lstm_train_pallas import bilstm_train_pallas
+    from ..ops.lstm_train_pallas import (
+        bilstm_train_pallas,
+        bilstm_train_pallas_packed,
+    )
 
     def _dense(p, x):
         return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+    keep2 = None
+    if segment_ids is not None:
+        from .blstm import segment_keep
+
+        keep2 = jnp.stack(
+            [segment_keep(segment_ids), segment_keep(segment_ids[:, ::-1])], axis=0
+        )  # [2, B, T], each in its direction's scan order
 
     x = magnitude.astype(compute_dtype)
     h = jnp.tanh(_dense(params["input_proj"], x))
     for layer in range(num_layers):
         cells = params[f"bilstm_{layer}"]["cells"]
-        h = bilstm_train_pallas(
-            h,
-            cells["kernel"],
-            cells["recurrent_kernel"],
-            cells["bias"],
-            tile_t,
-            interpret,
-            compute_dtype,
-        ).astype(compute_dtype)
+        if keep2 is None:
+            h = bilstm_train_pallas(
+                h,
+                cells["kernel"],
+                cells["recurrent_kernel"],
+                cells["bias"],
+                tile_t,
+                interpret,
+                compute_dtype,
+            ).astype(compute_dtype)
+        else:
+            h = bilstm_train_pallas_packed(
+                h,
+                cells["kernel"],
+                cells["recurrent_kernel"],
+                cells["bias"],
+                keep2,
+                tile_t,
+                interpret,
+                compute_dtype,
+            ).astype(compute_dtype)
         if dropout_rng is not None and dropout_rate > 0.0:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(dropout_rng, layer), 1.0 - dropout_rate, h.shape

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bilstm_train_pallas"]
+__all__ = ["bilstm_train_pallas", "bilstm_train_pallas_packed"]
 
 # storage dtype for slabs/matmul operands; tests may override to float32 to
 # verify the backward math independently of bf16 rounding
@@ -62,15 +62,27 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _make_fwd_kernel(tile_t: int, bp: int, gp: int):
-    def kernel(xw_ref, u_ref, h_ref, g_ref, c_ref, h_s, c_s):
+def _make_fwd_kernel(tile_t: int, bp: int, gp: int, packed: bool = False):
+    def kernel(xw_ref, u_ref, *rest):
+        if packed:
+            k_ref, h_ref, g_ref, c_ref, h_s, c_s = rest
+        else:
+            h_ref, g_ref, c_ref, h_s, c_s = rest
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             h_s[:] = jnp.zeros_like(h_s)
             c_s[:] = jnp.zeros_like(c_s)
 
         for tt in range(tile_t):
-            hb = h_s[:].astype(u_ref.dtype)
+            hs, cs = h_s[:], c_s[:]
+            if packed:
+                # packed rows: the carry is gated off at segment starts so
+                # utterances sharing a row never see each other's state
+                kt = k_ref[tt]  # [R, 1], broadcasts over lanes
+                hs = hs * kt
+                cs = cs * kt
+            hb = hs.astype(u_ref.dtype)
             z0 = jnp.dot(hb[:bp], u_ref[0], preferred_element_type=jnp.float32)
             z1 = jnp.dot(hb[bp:], u_ref[1], preferred_element_type=jnp.float32)
             z = xw_ref[tt].astype(jnp.float32) + jnp.concatenate([z0, z1], axis=0)
@@ -78,7 +90,7 @@ def _make_fwd_kernel(tile_t: int, bp: int, gp: int):
             f = jax.nn.sigmoid(z[:, 1 * gp : 2 * gp])
             g = jnp.tanh(z[:, 2 * gp : 3 * gp])
             o = jax.nn.sigmoid(z[:, 3 * gp : 4 * gp])
-            c = f * c_s[:] + i * g
+            c = f * cs + i * g
             h = o * jnp.tanh(c)
             h_s[:] = h
             c_s[:] = c
@@ -89,8 +101,13 @@ def _make_fwd_kernel(tile_t: int, bp: int, gp: int):
     return kernel
 
 
-def _make_bwd_kernel(tile_t: int, bp: int, gp: int):
-    def kernel(g_ref, c_ref, cp_ref, dh_ref, ut_ref, dg_ref, dh_s, dc_s):
+def _make_bwd_kernel(tile_t: int, bp: int, gp: int, packed: bool = False):
+    def kernel(g_ref, c_ref, cp_ref, dh_ref, ut_ref, *rest):
+        if packed:
+            k_ref, dg_ref, dh_s, dc_s = rest
+        else:
+            dg_ref, dh_s, dc_s = rest
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             dh_s[:] = jnp.zeros_like(dh_s)
@@ -106,6 +123,8 @@ def _make_bwd_kernel(tile_t: int, bp: int, gp: int):
             dh_tot = dh_ref[tt] + dh_s[:]
             do = dh_tot * th * o * (1.0 - o)
             dc = dc_s[:] + dh_tot * o * (1.0 - th * th)
+            # cp_ref is pre-masked by the caller in packed mode (the forward
+            # consumed keep[t]·c_{t-1}), so df needs no extra gating here
             di = dc * g * i * (1.0 - i)
             df = dc * cp_ref[tt] * f * (1.0 - f)
             dg = dc * i * (1.0 - g * g)
@@ -114,8 +133,16 @@ def _make_bwd_kernel(tile_t: int, bp: int, gp: int):
             dgb = dgt.astype(ut_ref.dtype)
             r0 = jnp.dot(dgb[:bp], ut_ref[0], preferred_element_type=jnp.float32)
             r1 = jnp.dot(dgb[bp:], ut_ref[1], preferred_element_type=jnp.float32)
-            dh_s[:] = jnp.concatenate([r0, r1], axis=0)
-            dc_s[:] = dc * f
+            r_cat = jnp.concatenate([r0, r1], axis=0)
+            dcf = dc * f
+            if packed:
+                # the forward used keep[t]·(h,c)_{t-1}: the carry gradients
+                # flowing past a segment boundary are gated off the same way
+                kt = k_ref[tt]
+                r_cat = r_cat * kt
+                dcf = dcf * kt
+            dh_s[:] = r_cat
+            dc_s[:] = dcf
 
     return kernel
 
@@ -128,9 +155,17 @@ def _pad_gates(a, h, gp):
     return a.reshape(*lead, 4 * gp)
 
 
-def _fwd_call(xw_p, u_p, *, bp, gp, tile_t, interpret, slab):
+def _fwd_call(xw_p, u_p, *, bp, gp, tile_t, interpret, slab, keep_p=None):
     t_pad, r, _ = xw_p.shape
-    kernel = _make_fwd_kernel(tile_t, bp, gp)
+    kernel = _make_fwd_kernel(tile_t, bp, gp, packed=keep_p is not None)
+    in_specs = [
+        pl.BlockSpec((tile_t, r, 4 * gp), lambda i: (i, 0, 0)),
+        pl.BlockSpec((2, gp, 4 * gp), lambda i: (0, 0, 0)),
+    ]
+    operands = [xw_p, u_p]
+    if keep_p is not None:
+        in_specs.append(pl.BlockSpec((tile_t, r, 1), lambda i: (i, 0, 0)))
+        operands.append(keep_p)
     return pl.pallas_call(
         kernel,
         out_shape=[
@@ -139,10 +174,7 @@ def _fwd_call(xw_p, u_p, *, bp, gp, tile_t, interpret, slab):
             jax.ShapeDtypeStruct((t_pad, r, gp), jnp.float32),  # c_all
         ],
         grid=(t_pad // tile_t,),
-        in_specs=[
-            pl.BlockSpec((tile_t, r, 4 * gp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((2, gp, 4 * gp), lambda i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_t, r, gp), lambda i: (i, 0, 0)),
             pl.BlockSpec((tile_t, r, 4 * gp), lambda i: (i, 0, 0)),
@@ -154,26 +186,33 @@ def _fwd_call(xw_p, u_p, *, bp, gp, tile_t, interpret, slab):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xw_p, u_p)
+    )(*operands)
 
 
-def _bwd_call(gates, c_all, dh_p, ut_p, *, bp, gp, tile_t, interpret, slab):
+def _bwd_call(gates, c_all, dh_p, ut_p, *, bp, gp, tile_t, interpret, slab, keep_p=None):
     t_pad, r, _ = dh_p.shape
     n_blocks = t_pad // tile_t
     c_prev = jnp.concatenate([jnp.zeros_like(c_all[:1]), c_all[:-1]], axis=0)
+    if keep_p is not None:
+        c_prev = c_prev * keep_p  # forward consumed keep[t]·c_{t-1}
     rev = lambda i: (n_blocks - 1 - i, 0, 0)
-    kernel = _make_bwd_kernel(tile_t, bp, gp)
+    kernel = _make_bwd_kernel(tile_t, bp, gp, packed=keep_p is not None)
+    in_specs = [
+        pl.BlockSpec((tile_t, r, 4 * gp), rev),
+        pl.BlockSpec((tile_t, r, gp), rev),
+        pl.BlockSpec((tile_t, r, gp), rev),
+        pl.BlockSpec((tile_t, r, gp), rev),
+        pl.BlockSpec((2, 4 * gp, gp), lambda i: (0, 0, 0)),
+    ]
+    operands = [gates, c_all, c_prev, dh_p, ut_p]
+    if keep_p is not None:
+        in_specs.append(pl.BlockSpec((tile_t, r, 1), rev))
+        operands.append(keep_p)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t_pad, r, 4 * gp), slab),  # dgates
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((tile_t, r, 4 * gp), rev),
-            pl.BlockSpec((tile_t, r, gp), rev),
-            pl.BlockSpec((tile_t, r, gp), rev),
-            pl.BlockSpec((tile_t, r, gp), rev),
-            pl.BlockSpec((2, 4 * gp, gp), lambda i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_t, r, 4 * gp), rev),
         scratch_shapes=[
             pltpu.VMEM((r, gp), jnp.float32),
@@ -181,7 +220,7 @@ def _bwd_call(gates, c_all, dh_p, ut_p, *, bp, gp, tile_t, interpret, slab):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(gates, c_all, c_prev, dh_p, ut_p)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -220,6 +259,17 @@ def _prep(x, kernel, recurrent, bias, tile_t, slab):
     return xs, xw_p, u_p, (b, t, f, h, gp, bp, t_pad)
 
 
+def _prep_keep(keep, b, t, bp, t_pad):
+    """[2, B, T] per-direction carry gates → [T_pad, 2Bp, 1] time-major rows
+    (padding keeps carry = 1: zeros propagate unchanged there)."""
+    k = jnp.pad(
+        keep.astype(jnp.float32),
+        ((0, 0), (0, bp - b), (0, t_pad - t)),
+        constant_values=1.0,
+    )
+    return k.transpose(2, 0, 1).reshape(t_pad, 2 * bp, 1)
+
+
 def _vjp_fwd(x, kernel, recurrent, bias, tile_t, interpret, slab):
     slab = slab or _SLAB
     xs, xw_p, u_p, geom = _prep(x, kernel, recurrent, bias, tile_t, slab)
@@ -234,7 +284,7 @@ def _vjp_fwd(x, kernel, recurrent, bias, tile_t, interpret, slab):
     return y, (x, kernel, recurrent, h_all, gates, c_all)
 
 
-def _vjp_bwd(tile_t, interpret, slab, res, dy):
+def _vjp_bwd_impl(tile_t, interpret, slab, res, dy, keep_p=None):
     slab = slab or _SLAB
     x, kernel, recurrent, h_all, gates, c_all = res
     b, t, f = x.shape
@@ -260,7 +310,7 @@ def _vjp_bwd(tile_t, interpret, slab, res, dy):
 
     dgates = _bwd_call(
         gates, c_all, dh_p, ut_p, bp=bp, gp=gp, tile_t=tile_t,
-        interpret=interpret, slab=slab,
+        interpret=interpret, slab=slab, keep_p=keep_p,
     )
     # [T_pad, 2Bp, 4GP] → unpadded per-direction [2, B, T, 4H]
     dgr = dgates.reshape(t_pad, 2, bp, 4, gp)[:t, :, :b, :, :h]
@@ -272,8 +322,11 @@ def _vjp_bwd(tile_t, interpret, slab, res, dy):
     dx_s = jnp.einsum("dbtg,dfg->dbtf", dxw, kernel.astype(jnp.float32))
     dx = dx_s[0] + dx_s[1][:, ::-1, :]
 
-    # h_{t-1} (zero-initial): shift the stored states by one step
+    # h_{t-1} (zero-initial): shift the stored states by one step; in packed
+    # mode the forward consumed keep[t]·h_{t-1}, so dRec sees the gated state
     hp = jnp.concatenate([jnp.zeros_like(h_all[:1]), h_all[:-1]], axis=0)
+    if keep_p is not None:
+        hp = hp.astype(jnp.float32) * keep_p
     hpr = hp.reshape(t_pad, 2, bp, gp)[:t, :, :b, :h].astype(jnp.float32)
     drec = jnp.einsum("tdbh,dbtg->dhg", hpr, dxw)
 
@@ -282,4 +335,54 @@ def _vjp_bwd(tile_t, interpret, slab, res, dy):
     ), dbias.astype(jnp.float32)
 
 
+def _vjp_bwd(tile_t, interpret, slab, res, dy):
+    return _vjp_bwd_impl(tile_t, interpret, slab, res, dy)
+
+
 bilstm_train_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def bilstm_train_pallas_packed(
+    x, kernel, recurrent, bias, keep, tile_t: int = 16, interpret: bool = False,
+    slab=None,
+):
+    """:func:`bilstm_train_pallas` for sequence-packed rows.
+
+    ``keep [2, B, T]``: per-direction carry gates in each direction's own
+    scan order (build from segment ids with ``models.blstm.segment_keep`` —
+    direction 0 on ``segment_ids``, direction 1 on ``segment_ids[:, ::-1]``).
+    A 0 gates the (h, c) carry — and, in backward, the (dh, dc) carry — to
+    zero at that step, isolating packed utterances exactly. A separate
+    kernel variant so the unpacked hot path compiles byte-identically to
+    before; ``keep`` is data (0/1 masks), its returned gradient is zero.
+    """
+    y, _ = _vjp_fwd_packed(x, kernel, recurrent, bias, keep, tile_t, interpret, slab)
+    return y
+
+
+def _vjp_fwd_packed(x, kernel, recurrent, bias, keep, tile_t, interpret, slab):
+    slab = slab or _SLAB
+    xs, xw_p, u_p, geom = _prep(x, kernel, recurrent, bias, tile_t, slab)
+    b, t, f, h, gp, bp, t_pad = geom
+    keep_p = _prep_keep(keep, b, t, bp, t_pad)
+    h_all, gates, c_all = _fwd_call(
+        xw_p, u_p, bp=bp, gp=gp, tile_t=tile_t, interpret=interpret, slab=slab,
+        keep_p=keep_p,
+    )
+    hr = h_all.reshape(t_pad, 2, bp, gp)
+    y0 = hr[:t, 0, :b, :h].transpose(1, 0, 2)
+    y1 = hr[:t, 1, :b, :h].transpose(1, 0, 2)[:, ::-1, :]
+    y = jnp.concatenate([y0, y1], axis=-1)
+    return y, (x, kernel, recurrent, h_all, gates, c_all, keep, keep_p)
+
+
+def _vjp_bwd_packed(tile_t, interpret, slab, res, dy):
+    *core, keep, keep_p = res
+    dx, dkernel, drec, dbias = _vjp_bwd_impl(
+        tile_t, interpret, slab, tuple(core), dy, keep_p=keep_p
+    )
+    return dx, dkernel, drec, dbias, jnp.zeros_like(keep)
+
+
+bilstm_train_pallas_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)

@@ -18,12 +18,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..losses.pit import pit_loss, pit_si_sdr_loss
+from ..losses.pit import pit_loss, pit_loss_packed, pit_si_sdr_loss
 from ..losses.sisdr import summed_squared_error
 from ..ops.features import psm_features
 
 __all__ = [
     "make_upit_waveform_steps",
+    "make_upit_packed_steps",
     "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_vae_steps",
@@ -95,6 +96,81 @@ def make_upit_waveform_steps(
     @jax.jit
     def eval_step(state, mix, sources, frame_lengths):
         return _loss(state.params, mix, sources, frame_lengths, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_upit_packed_steps(
+    model,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    num_segments: int = 8,
+    donate_state: bool = True,
+    compute_dtype=None,
+    pallas_scan: bool = False,
+):
+    """Steps over sequence-packed rows (``data/packing.py``):
+    ``(mix [R, row_samples], sources [R, n, row_samples],
+    frame_seg [R, row_frames])``.
+
+    Semantics are exactly :func:`make_upit_waveform_steps` applied to each
+    packed utterance individually — segment-id carry resets isolate
+    utterances inside the BiLSTM, and :func:`pit_loss_packed` runs the
+    permutation search per segment (the returned loss is the same "sum over
+    utterances" the unpacked step reports; parity pinned in
+    ``tests/test_packed.py``). Every batch has one static shape: one XLA /
+    Pallas compile for the whole corpus, and no padding waste beyond one
+    guard frame per utterance.
+
+    ``pallas_scan=True`` routes the recurrences through the packed variant
+    of the fused fwd+bwd Pallas kernels
+    (``ops/lstm_train_pallas.bilstm_train_pallas_packed``).
+    """
+    if pallas_scan:
+        from ..models.upit import upit_blstm_train_forward
+
+        interp = jax.default_backend() != "tpu"
+
+    def _loss(params, mix, sources, frame_seg, dropout_rng, deterministic):
+        feats = psm_features(mix, sources, size, shift)
+        kwargs = dict(deterministic=deterministic, segment_ids=frame_seg)
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        net_in = feats.magnitude
+        p = params
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+            net_in = net_in.astype(compute_dtype)
+        if pallas_scan:
+            preds = upit_blstm_train_forward(
+                p,
+                net_in,
+                num_layers=model.num_layers,
+                num_speakers=model.num_speakers,
+                dropout_rate=model.dropout_rate,
+                dropout_rng=None if deterministic else dropout_rng,
+                compute_dtype=compute_dtype or jnp.float32,
+                interpret=interp,
+                segment_ids=frame_seg,
+            ).astype(jnp.float32)
+        else:
+            preds = model.apply({"params": p}, net_in, **kwargs).astype(jnp.float32)
+        return pit_loss_packed(
+            preds, feats.labels, frame_seg, num_speakers, num_segments
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, mix, sources, frame_seg):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, mix, sources, frame_seg, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, mix, sources, frame_seg):
+        return _loss(state.params, mix, sources, frame_seg, state.rng, True)
 
     return train_step, eval_step
 
