@@ -64,9 +64,10 @@ def main():
     params = model.init(rng, jnp.zeros((1, 16, 129)))["params"]
 
     results = {}
+    fresh = lambda: jax.tree.map(jnp.copy, params)  # steps donate the state
 
     # -- bucketed (round-2 production path) --
-    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    state = train.TrainState.create(model.apply, fresh(), train.adam(1e-3), jax.random.key(1))
     step, _ = train.make_upit_waveform_steps(
         model, compute_dtype=jnp.bfloat16, pallas_scan=True
     )
@@ -87,7 +88,7 @@ def main():
     print(json.dumps({"bucketed": results["bucketed"]}), flush=True)
 
     # -- packed (this round) --
-    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    state = train.TrainState.create(model.apply, fresh(), train.adam(1e-3), jax.random.key(1))
     mkp = lambda: PackedWaveformLoader(
         SPLIT, rows_per_batch=ROWS, row_seconds=ROW_SECONDS, shuffle=True,
         drop_remainder=True, seed=0,
