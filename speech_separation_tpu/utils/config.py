@@ -60,6 +60,10 @@ class UPitTrainConfig:
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)
+    blstm_pallas_scan: bool = False  # blstm: fused Pallas fwd+bwd recurrence kernels (ops/lstm_train_pallas.py)
+    pack: bool = False  # blstm: sequence-packed rows (data/packing.py) — one compiled shape, ~95% frame occupancy
+    pack_rows_per_batch: int = 16
+    pack_row_seconds: float = 16.0
     tasnet_pallas_trunk: bool = False  # tasnet: Pallas fwd+bwd TCN trunk (implies bf16; DP via make_time_domain_steps(dp_mesh=...))
     frame_size: int = 40  # conv variant
     tasnet_enc_dim: int = 256  # tasnet variant

@@ -103,6 +103,70 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     assert {"name", "si_sdr", "si_sdri", "sdr", "sir", "sar"} <= set(per_utt[0])
 
 
+def test_train_packed_cli(fixture_root, tmp_path, capsys):
+    """`pack: true` routes train through PackedWaveformLoader +
+    make_upit_packed_steps; the checkpoint stays separate-compatible."""
+    ckpt_dir = tmp_path / "ckpt_packed"
+    cfg_path = tmp_path / "cfg_packed.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "hidden": 16,
+                "num_layers": 1,
+                "patience": 10,
+                "seed": 0,
+                "pack": True,
+                "pack_rows_per_batch": 2,
+                "pack_row_seconds": 20.0,
+            }
+        )
+    )
+    out = _run(
+        capsys,
+        [
+            "train",
+            "--config",
+            str(cfg_path),
+            "--workload",
+            "upit",
+            "--data-root",
+            str(fixture_root),
+            "--epochs",
+            "2",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+        ],
+    )
+    assert np.isfinite(json.loads(out[-1])["best_val_loss"])
+
+    sep_dir = tmp_path / "sep_packed"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(sep_dir),
+        ],
+    )
+    assert json.loads(out[-1])["written"] == 8
+
+    # pack is blstm-only
+    bad_cfg = tmp_path / "cfg_pack_conv.json"
+    bad_cfg.write_text(json.dumps({"pack": True, "variant": "conv"}))
+    with pytest.raises(ValueError, match="blstm"):
+        cli.main(
+            [
+                "train", "--config", str(bad_cfg), "--workload", "upit",
+                "--variant", "conv", "--data-root", str(fixture_root),
+                "--epochs", "1", "--checkpoint-dir", str(tmp_path / "x"),
+            ]
+        )
+
+
 def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):
     ckpt_dir = tmp_path / "vae_ckpt"
     cfg_path = tmp_path / "vae_cfg.json"
