@@ -123,7 +123,7 @@ def _gain_offsets_db(rng: np.random.Generator, num_speakers: int) -> np.ndarray:
 
 def make_synthetic_fixture(
     root: str | pathlib.Path,
-    utterances_per_split: int = 4,
+    utterances_per_split: int | dict[str, int] = 4,
     sample_rate: int = 8000,
     min_seconds: float = 2.0,
     max_seconds: float = 5.0,
@@ -138,15 +138,22 @@ def make_synthetic_fixture(
     byte-identical). ``profile="hard"``: overlapping pitch bands, per-source
     gain offsets, AM noise and silence gaps (:func:`_voice_hard`) —
     wsj0-2mix-like difficulty. ``num_speakers`` emits ``s1..sN`` subdirs
-    (the reference is strictly 2-speaker)."""
+    (the reference is strictly 2-speaker). ``utterances_per_split`` may be
+    a dict keyed by split name (``{"tr": 400, "cv": 50, "tt": 50}``) for
+    corpus-shaped fixtures with a large train split."""
     root = pathlib.Path(root)
     rng = np.random.default_rng(seed)
     (root / "lists").mkdir(parents=True, exist_ok=True)
     for split in ("tr", "cv", "tt"):
+        count = (
+            utterances_per_split[split]
+            if isinstance(utterances_per_split, dict)
+            else utterances_per_split
+        )
         names = []
         for sub in ("mix", *(f"s{k + 1}" for k in range(num_speakers))):
             (root / split / sub).mkdir(parents=True, exist_ok=True)
-        for i in range(utterances_per_split):
+        for i in range(count):
             seconds = rng.uniform(min_seconds, max_seconds)
             samples = int(seconds * sample_rate)
             if profile == "easy" and num_speakers == 2:

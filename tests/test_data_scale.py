@@ -120,6 +120,23 @@ def test_prefetch_to_device_with_decode_ahead(tmp_path):
     assert prefetched == direct
 
 
+def test_fixture_dict_splits(tmp_path):
+    """utterances_per_split accepts per-split counts (corpus-shaped trees)."""
+    from speech_separation_tpu.data import make_synthetic_fixture
+
+    root = make_synthetic_fixture(
+        tmp_path / "fx",
+        utterances_per_split={"tr": 4, "cv": 2, "tt": 1},
+        num_speakers=3,
+        profile="hard",
+        min_seconds=1.0,
+        max_seconds=1.5,
+    )
+    for split, n in {"tr": 4, "cv": 2, "tt": 1}.items():
+        assert len(list((root / split / "mix").glob("*.wav"))) == n
+        assert {p.name for p in (root / split).iterdir()} == {"mix", "s1", "s2", "s3"}
+
+
 def test_prepare_data_librimix_cli(tmp_path, capsys):
     from speech_separation_tpu import cli
 
