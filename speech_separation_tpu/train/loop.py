@@ -113,9 +113,10 @@ def fit(
             out = eval_step(state, *batch_arrays(batch))
             val_losses.append(out[0] if isinstance(out, tuple) else out)
 
-        step_losses = [float(x) for x in train_losses]
+        step_losses = _fetch_scalars(train_losses)
         train_loss = float(np.mean(step_losses)) if step_losses else float("nan")
-        val_loss = float(np.mean([float(x) for x in val_losses])) if val_losses else float("nan")
+        vals = _fetch_scalars(val_losses)
+        val_loss = float(np.mean(vals)) if vals else float("nan")
         result.history["loss"].append(train_loss)
         result.history["val_loss"].append(val_loss)
         epoch_time = time.time() - t0
@@ -157,3 +158,17 @@ def fit(
 
 def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
+
+
+def _fetch_scalars(xs) -> list[float]:
+    """Fetch a list of device scalars in ONE host transfer.
+
+    Fetching each loss individually costs one host round trip per step —
+    on a high-latency device link (e.g. a TPU relay) that turns epoch-end
+    logging into seconds of dead time. Stacking on device first makes it a
+    single [N]-array fetch regardless of step count."""
+    if not xs:
+        return []
+    import jax.numpy as jnp
+
+    return [float(v) for v in np.asarray(jnp.stack([jnp.asarray(x) for x in xs]))]
