@@ -69,6 +69,9 @@ def main():
     )
     pallas = bool(int(os.environ.get("PALLAS", "0")))
     packed = bool(int(os.environ.get("PACK", "0")))
+    # INT16=1: ship int16 PCM over the relay link (half the bytes,
+    # bit-exact for the 16-bit corpus wavs; steps dequantize on device)
+    int16 = bool(int(os.environ.get("INT16", "0")))
     if packed:
         # PACK=1: sequence-packed rows (one static shape, zero padding
         # waste, exact per-utterance semantics — data/packing.py)
@@ -87,6 +90,7 @@ def main():
             shuffle=shuffle,
             drop_remainder=shuffle,
             seed=0,
+            transfer_int16=int16,
         )
     else:
         train_step, eval_step = train.make_upit_waveform_steps(
@@ -107,6 +111,7 @@ def main():
             sort_by_length=True,
             drop_remainder=shuffle,
             seed=0,
+            transfer_int16=int16,
             # under the Pallas recurrence kernels, bound the number of distinct
             # padded shapes (each fresh shape remote-compiles 2 kernels in ~min)
             pad_quantum_seconds=2.0 if pallas else 1.0,
@@ -138,6 +143,7 @@ def main():
         "corpus_profile": PROFILE,
         "pallas_scan": bool(int(os.environ.get("PALLAS", "0"))),
         "packed": bool(int(os.environ.get("PACK", "0"))),
+        "transfer_int16": int16,
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],

@@ -207,6 +207,7 @@ def cmd_train(args) -> None:
             num_speakers=cfg.num_speakers,
             shuffle=shuffle,
             seed=cfg.seed,
+            transfer_int16=cfg.transfer_int16,
         )
         if cfg.pack:
             # Sequence-packed training (data/packing.py): utterances packed
@@ -224,6 +225,7 @@ def cmd_train(args) -> None:
                 num_speakers=cfg.num_speakers,
                 shuffle=shuffle,
                 seed=cfg.seed,
+                transfer_int16=cfg.transfer_int16,
             )
             num_segments = max(
                 make_loader(cfg.train_split, False).num_segments,
@@ -457,6 +459,7 @@ def cmd_separate(args) -> None:
         sample_rate=cfg.stft.sample_rate,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         dp_mesh=dp_mesh,
+        transfer_int16=getattr(args, "transfer_int16", False),
     )
     out = {"written": len(written), "out_dir": str(args.out_dir)}
     if dp_mesh is not None:
@@ -482,12 +485,20 @@ def _separate_time_domain(cfg, model, state, args) -> None:
     # minutes, so a handful of length buckets amortizes that across any
     # corpus. Padding feeds the per-item gLN stats, so larger quanta can
     # shift outputs at noise level (trimmed to true length either way).
+    # int16 link transfer applies to the standard full-utterance path; the
+    # chunked/streaming branches slice float waveforms on the host
+    use_int16 = (
+        getattr(args, "transfer_int16", False)
+        and not getattr(args, "chunk_seconds", 0.0)
+        and not getattr(args, "streaming_hop_seconds", 0.0)
+    )
     loader = WaveformLoader(
         pathlib.Path(args.data_root or cfg.data_root) / args.split,
         batch_size=args.batch_size or cfg.batch_size,
         sample_rate=cfg.stft.sample_rate,
         num_speakers=cfg.num_speakers,
         pad_quantum_seconds=getattr(args, "pad_quantum_seconds", 1.0),
+        transfer_int16=use_int16,
     )
     if use_pallas:
         # fused Pallas TCN trunk (ops/tcn_pallas.py): needs samples to be a
@@ -516,6 +527,17 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
         def _base(p, m):
             return model.apply({"params": p}, m)
+
+    if use_int16:
+        # dequantize the int16 upload on device; quantize estimates before
+        # the fetch (pipeline._quant_i16 convention) — half the wire bytes
+        _inner = _base
+
+        def _base(p, m):
+            est = _inner(p, m.astype(jnp.float32) * (1.0 / 32768.0))
+            return jnp.clip(
+                jnp.round(est.astype(jnp.float32) * 32768.0), -32768, 32767
+            ).astype(jnp.int16)
 
     dp_mesh = None
     if getattr(args, "dp", False):
@@ -647,6 +669,8 @@ def _separate_time_domain(cfg, model, state, args) -> None:
             (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
             (mix,) = shard_batch((mix,), dp_mesh)
         est = _np.asarray(separate(params, mix))[:n_real]
+        if est.dtype == _np.int16:
+            est = est.astype(_np.float32) / 32768.0
         for i, name in enumerate(b.names):
             stem = pathlib.Path(name).stem
             n = int(b.sample_lengths[i])
@@ -1064,6 +1088,14 @@ def main(argv=None) -> None:
     p.add_argument("--out-dir", default="./test_wav")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--bf16", action="store_true", help="bf16 mask network (serving precision)")
+    p.add_argument(
+        "--transfer-int16",
+        action="store_true",
+        help="ship int16 PCM over the host<->device link both ways (half the "
+        "wire bytes: upload bit-exact for 16-bit sources, estimates "
+        "quantized on device within 0.5 LSB of the int16 wavs written "
+        "anyway); standard full-utterance path only",
+    )
     p.add_argument(
         "--kernel",
         default="xla",

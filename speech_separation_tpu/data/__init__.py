@@ -1,4 +1,4 @@
-from .audio_io import audioread, audiowrite, read_normalized, read_wav, wait_for_pending_writes
+from .audio_io import audioread, audiowrite, quantize_i16, read_normalized, read_wav, wait_for_pending_writes
 from .datasets import (
     SpectrogramBatch,
     VaeBatch,

@@ -85,6 +85,20 @@ def read_normalized(path: str | pathlib.Path, sample_rate: int = 8000) -> np.nda
     return data.astype(np.float32)
 
 
+def quantize_i16(data: np.ndarray) -> np.ndarray:
+    """Quantize float waveforms in [-1, 1] to int16 PCM counts.
+
+    Inverse of the decoder's ``i / 32768`` scaling: for audio that came from
+    16-bit PCM at the target sample rate (no resampling), ``round(x * 32768)``
+    recovers the original integer exactly, so shipping int16 over the
+    host↔device link and dequantizing on device is *bit-exact* while moving
+    half the bytes. Values at/above +1.0 (possible only after resampling or
+    synthesis) clip to 32767 — one LSB of loss, flagged nowhere because the
+    training loaders only see decoded PCM.
+    """
+    return np.clip(np.round(data * 32768.0), -32768, 32767).astype(np.int16)
+
+
 _pending_writes: list[threading.Thread] = []
 
 

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 
 from ..ops.stft import stft_frame_count
-from .audio_io import audioread, read_normalized
+from .audio_io import audioread, quantize_i16, read_normalized
 from .features import utterance_names
 from .tfrecord import parse_sequence_example, read_tfrecord_file
 
@@ -127,6 +127,11 @@ class WaveformLoader:
     seed: int = 0
     drop_remainder: bool = False
     sort_by_length: bool = False
+    # ship int16 PCM counts over the host↔device link (half the bytes of
+    # fp32 — the relay link is the corpus-training bottleneck); the jitted
+    # steps dequantize on device, bit-exactly for 16-bit sources
+    # (audio_io.quantize_i16)
+    transfer_int16: bool = False
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -202,6 +207,9 @@ class WaveformLoader:
                 ],
                 dtype=np.int32,
             )
+            if self.transfer_int16:
+                mix = quantize_i16(mix)
+                sources = quantize_i16(sources)
             yield WaveformBatch(mix, sources, lengths, frame_lengths, names)
 
 

@@ -118,6 +118,9 @@ class PackedWaveformLoader:
     shuffle: bool = False
     seed: int = 0
     drop_remainder: bool = False
+    # int16 PCM over the host↔device link (half the fp32 bytes; on-device
+    # dequantization in the steps is bit-exact for 16-bit sources)
+    transfer_int16: bool = False
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -204,6 +207,11 @@ class PackedWaveformLoader:
                     frame_seg[ri, q : q + k] = si
                     audio += len(m)
                     q += k + self.guard
+            if self.transfer_int16:
+                from .audio_io import quantize_i16
+
+                mix = quantize_i16(mix)
+                sources = quantize_i16(sources)
             yield PackedBatch(
                 mix,
                 sources,

@@ -45,6 +45,22 @@ def separated_length(frames: int, size: int, shift: int) -> int:
     return frames * shift - (size - shift)
 
 
+def _dequant(wave):
+    """int16 PCM batches pass the host↔device link at half the fp32 bytes;
+    dequantize on device to the decoder's exact float (``i / 32768``).
+    Trace-time dtype branch — float inputs are untouched."""
+    if wave.dtype == jnp.int16:
+        return wave.astype(jnp.float32) * (1.0 / 32768.0)
+    return wave
+
+
+def _quant_i16(wave):
+    """Device-side int16 quantization of estimates before the host fetch
+    (half the fetch bytes; ≤0.5 LSB error — below the int16 wav the host
+    writes anyway)."""
+    return jnp.clip(jnp.round(wave * 32768.0), -32768, 32767).astype(jnp.int16)
+
+
 def make_separate_fn(
     model,
     size: int = 256,
@@ -53,6 +69,7 @@ def make_separate_fn(
     method: str = "matmul",
     compute_dtype=None,
     dp_mesh=None,
+    quantize_output: bool = False,
 ) -> Callable:
     """Returns jitted ``separate(params, mix, frame_lengths) -> [B, S, samples]``.
 
@@ -66,10 +83,14 @@ def make_separate_fn(
     with no collectives on the hot path. Batch must divide by the axis size
     (``parallel.pad_batch_for_mesh``). Output ≡ single-device (pinned in
     ``tests/test_parallel.py``).
+
+    ``mix`` may be int16 PCM (dequantized on device — half the upload bytes);
+    ``quantize_output=True`` returns int16 estimates (half the fetch bytes,
+    ≤0.5 LSB of the int16 wav the caller writes anyway).
     """
 
     def separate(params, mix, frame_lengths):
-        spec = stft(mix, size, shift, method=method)  # [B, T, F] complex
+        spec = stft(_dequant(mix), size, shift, method=method)  # [B, T, F] complex
         mag, cos, sin = magnitude_angle(spec)
         if compute_dtype is not None:
             params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
@@ -88,7 +109,8 @@ def make_separate_fn(
             masked = est_mag * frame_mask[..., None]
             est_spec = jax.lax.complex(masked * cos, masked * sin)
             wavs.append(istft(est_spec, size, shift, method=method))
-        return jnp.stack(wavs, axis=1)
+        out = jnp.stack(wavs, axis=1)
+        return _quant_i16(out) if quantize_output else out
 
     if dp_mesh is None:
         return jax.jit(separate)
@@ -307,6 +329,7 @@ def separate_directory(
     threaded_writes: bool = True,
     compute_dtype=None,
     dp_mesh=None,
+    transfer_int16: bool = False,
 ) -> list[pathlib.Path]:
     """Separate every mixture in ``split_dir/mix`` → ``out_dir/{name}_s{i}.wav``.
 
@@ -317,6 +340,11 @@ def separate_directory(
     ``dp_mesh``: shard each batch over the mesh's ``data`` axis (multi-chip
     data-parallel serving); ragged final batches are zero-padded to the axis
     size and trimmed after.
+
+    ``transfer_int16``: ship int16 PCM over the host↔device link in BOTH
+    directions (upload bit-exact for 16-bit sources; estimates quantized on
+    device, ≤0.5 LSB of the int16 wavs written anyway) — halves the bytes on
+    the wire, which dominates end-to-end wall time on slow links.
     """
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -327,9 +355,11 @@ def separate_directory(
         stft_size=size,
         stft_shift=shift,
         num_speakers=num_speakers,
+        transfer_int16=transfer_int16,
     )
     separate = make_separate_fn(
-        model, size, shift, num_speakers, compute_dtype=compute_dtype, dp_mesh=dp_mesh
+        model, size, shift, num_speakers, compute_dtype=compute_dtype,
+        dp_mesh=dp_mesh, quantize_output=transfer_int16,
     )
     written: list[pathlib.Path] = []
     if dp_mesh is not None:
@@ -350,6 +380,8 @@ def separate_directory(
         else:
             mix, lens = jnp.asarray(mix), jnp.asarray(lens)
         wavs = np.asarray(separate(params, mix, lens))[:n_real]
+        if wavs.dtype == np.int16:
+            wavs = wavs.astype(np.float32) / 32768.0
         for i, name in enumerate(batch.names):
             stem = pathlib.Path(name).stem
             true_len = separated_length(int(batch.frame_lengths[i]), size, shift)

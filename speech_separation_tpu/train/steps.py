@@ -32,6 +32,17 @@ __all__ = [
 ]
 
 
+def _dequant(wave):
+    """Accept int16 PCM batches (loaders' ``transfer_int16=True`` — half the
+    host→device bytes on the relay link) transparently: dequantize on device
+    to exactly the float the host decoder produces for 16-bit PCM
+    (``i / 32768``). A trace-time dtype branch — float inputs pass through
+    untouched and each loader config compiles once."""
+    if wave.dtype == jnp.int16:
+        return wave.astype(jnp.float32) * (1.0 / 32768.0)
+    return wave
+
+
 def make_upit_waveform_steps(
     model,
     size: int = 256,
@@ -61,7 +72,7 @@ def make_upit_waveform_steps(
         interp = jax.default_backend() != "tpu"
 
     def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
-        feats = psm_features(mix, sources, size, shift)
+        feats = psm_features(_dequant(mix), _dequant(sources), size, shift)
         kwargs = dict(deterministic=deterministic)
         if not deterministic:
             kwargs["rngs"] = {"dropout": dropout_rng}
@@ -133,7 +144,7 @@ def make_upit_packed_steps(
         interp = jax.default_backend() != "tpu"
 
     def _loss(params, mix, sources, frame_seg, dropout_rng, deterministic):
-        feats = psm_features(mix, sources, size, shift)
+        feats = psm_features(_dequant(mix), _dequant(sources), size, shift)
         kwargs = dict(deterministic=deterministic, segment_ids=frame_seg)
         if not deterministic:
             kwargs["rngs"] = {"dropout": dropout_rng}
@@ -195,8 +206,9 @@ def make_upit_raw_steps(
         return wave.reshape(b, samples // frame_size, frame_size)
 
     def _loss(params, mix, sources, frame_lengths, dropout_rng, deterministic):
-        frames = _frame(mix)  # [B, K, L]
+        frames = _frame(_dequant(mix))  # [B, K, L]
         b, k, l = frames.shape
+        sources = _dequant(sources)
         src_frames = sources.reshape(b, sources.shape[1], k, l)
         labels = jnp.moveaxis(src_frames, 1, 2).reshape(b, k, -1)  # [B, K, n*L]
         kwargs = dict(deterministic=deterministic)
@@ -294,8 +306,8 @@ def make_time_domain_steps(
 
         def _loss(params, mix, sources, sample_lengths, dropout_rng, deterministic):
             del dropout_rng, deterministic
-            est = _forward(params, mix).astype(jnp.float32)
-            return pit_si_sdr_loss(est, sources, sample_lengths)
+            est = _forward(params, _dequant(mix)).astype(jnp.float32)
+            return pit_si_sdr_loss(est, _dequant(sources), sample_lengths)
 
     else:
 
@@ -303,8 +315,10 @@ def make_time_domain_steps(
             kwargs = dict(deterministic=deterministic)
             if not deterministic and dropout_rng is not None:
                 kwargs["rngs"] = {"dropout": dropout_rng}
-            est = net.apply({"params": params}, mix, **kwargs).astype(jnp.float32)
-            return pit_si_sdr_loss(est, sources, sample_lengths)
+            est = net.apply({"params": params}, _dequant(mix), **kwargs).astype(
+                jnp.float32
+            )
+            return pit_si_sdr_loss(est, _dequant(sources), sample_lengths)
 
     if dp_mesh is not None:
         from jax.sharding import PartitionSpec as P

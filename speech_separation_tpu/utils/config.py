@@ -62,6 +62,7 @@ class UPitTrainConfig:
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)
     blstm_pallas_scan: bool = False  # blstm: fused Pallas fwd+bwd recurrence kernels (ops/lstm_train_pallas.py)
     pack: bool = False  # blstm: sequence-packed rows (data/packing.py) — one compiled shape, ~95% frame occupancy
+    transfer_int16: bool = False  # ship int16 PCM to the device (half the link bytes; bit-exact for 16-bit sources)
     pack_rows_per_batch: int = 16
     pack_row_seconds: float = 16.0
     tasnet_pallas_trunk: bool = False  # tasnet: Pallas fwd+bwd TCN trunk (implies bf16; DP via make_time_domain_steps(dp_mesh=...))

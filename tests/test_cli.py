@@ -81,6 +81,31 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     )
     assert json.loads(out[-1])["written"] == 8
 
+    # --transfer-int16 (spectral path through separate_directory): estimates
+    # match the fp32-transfer wavs to quantization grade
+    i16_dir = tmp_path / "sep_i16"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(i16_dir),
+            "--transfer-int16",
+        ],
+    )
+    assert json.loads(out[-1])["written"] == 8
+    from speech_separation_tpu.data.audio_io import read_wav
+
+    for f in sorted(sep_dir.glob("*.wav")):
+        a, _ = read_wav(f)
+        b, _ = read_wav(i16_dir / f.name)
+        n = min(a.size, b.size)
+        assert np.abs(a[:n] - b[:n]).max() < 16 / 32768.0, f.name
+
     per_utt_path = tmp_path / "per_utt.jsonl"
     out = _run(
         capsys,
@@ -293,6 +318,29 @@ def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
         err = np.square(a[:n] - b[:n]).mean()
         ref = np.square(a[:n]).mean() + 1e-12
         assert err < 1e-2 * ref, f.name
+
+    # --transfer-int16: int16 PCM both ways over the link; estimates must
+    # match the fp32-transfer wavs within quantization grade (≤ a few LSB)
+    i16_dir = tmp_path / "tasnet_sep_i16"
+    out = _run(
+        capsys,
+        [
+            "separate",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--data-root",
+            str(fixture_root),
+            "--out-dir",
+            str(i16_dir),
+            "--transfer-int16",
+        ],
+    )
+    assert json.loads(out[-1])["written"] == 8
+    for f in sorted(sep_dir.glob("*.wav")):
+        a, _ = read_wav(f)
+        b, _ = read_wav(i16_dir / f.name)
+        n = min(a.size, b.size)
+        assert np.abs(a[:n] - b[:n]).max() < 16 / 32768.0, f.name
 
     # online streaming mode: hop-by-hop causal serving through the same CLI
     stream_dir = tmp_path / "tasnet_sep_streaming"

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from speech_separation_tpu import data, ops
@@ -240,3 +241,57 @@ def test_tfrecord_codec_fuzz_roundtrip():
                     assert a == b
                 else:
                     np.testing.assert_array_equal(a, b)
+
+
+def test_transfer_int16_bit_exact_loader(fixture_root):
+    """transfer_int16=True ships int16 PCM whose on-device dequantization
+    (i / 32768) reproduces the fp32 loader's floats BIT-exactly — the fixture
+    wavs are 16-bit PCM at the loader rate, so quantize∘decode is identity."""
+    kw = dict(batch_size=2)
+    for bf, bi in zip(
+        data.WaveformLoader(fixture_root / "tt", **kw),
+        data.WaveformLoader(fixture_root / "tt", transfer_int16=True, **kw),
+    ):
+        assert bi.mix.dtype == np.int16 and bi.sources.dtype == np.int16
+        np.testing.assert_array_equal(bf.mix, bi.mix.astype(np.float32) / 32768.0)
+        np.testing.assert_array_equal(
+            bf.sources, bi.sources.astype(np.float32) / 32768.0
+        )
+        assert bi.mix.nbytes * 2 == bf.mix.nbytes
+
+
+def test_transfer_int16_step_parity(fixture_root):
+    """The jitted steps accept int16 batches transparently (trace-time dtype
+    branch) and produce the same loss as the fp32 transfer path."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.data.packing import PackedWaveformLoader
+    from speech_separation_tpu.models import UPitBlstm
+
+    size, shift = 64, 32
+    model = UPitBlstm(input_size=size // 2 + 1, output_size=size // 2 + 1,
+                      hidden=16, num_layers=1)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8, size // 2 + 1)))["params"]
+    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    _, eval_step = train.make_upit_waveform_steps(
+        model, size=size, shift=shift, donate_state=False
+    )
+    kw = dict(batch_size=2, stft_size=size, stft_shift=shift)
+    for bf, bi in zip(
+        data.WaveformLoader(fixture_root / "tt", **kw),
+        data.WaveformLoader(fixture_root / "tt", transfer_int16=True, **kw),
+    ):
+        lf = eval_step(state, jnp.asarray(bf.mix), jnp.asarray(bf.sources),
+                       jnp.asarray(bf.frame_lengths))
+        li = eval_step(state, jnp.asarray(bi.mix), jnp.asarray(bi.sources),
+                       jnp.asarray(bi.frame_lengths))
+        np.testing.assert_allclose(float(lf), float(li), rtol=1e-6)
+
+    # packed loader variant: int16 rows match fp32 rows after dequantization
+    pk = dict(rows_per_batch=2, row_seconds=12.0, stft_size=size, stft_shift=shift)
+    for bf, bi in zip(
+        PackedWaveformLoader(fixture_root / "tt", **pk),
+        PackedWaveformLoader(fixture_root / "tt", transfer_int16=True, **pk),
+    ):
+        assert bi.mix.dtype == np.int16
+        np.testing.assert_array_equal(bf.mix, bi.mix.astype(np.float32) / 32768.0)
