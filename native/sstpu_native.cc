@@ -69,14 +69,18 @@ uint32_t sstpu_crc32c(const uint8_t* data, uint64_t n) {
 // WAV decode
 // ---------------------------------------------------------------------------
 
-// Decodes a RIFF/WAV file to float32 in [-1, 1], averaging channels to mono.
-// Returns 0 on success; fills *out (malloc'd, caller frees via
-// sstpu_free), *num_samples, *sample_rate.
-int sstpu_wav_read(const char* path, float** out, int64_t* num_samples,
-                   int32_t* sample_rate) {
-  *out = nullptr;
-  *num_samples = 0;
-  *sample_rate = 0;
+// Parsed RIFF container state shared by the float and int16 decoders.
+struct WavInfo {
+  std::vector<uint8_t> buf;
+  uint16_t format = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  const uint8_t* data_ptr = nullptr;
+  uint32_t data_len = 0;
+};
+
+// Reads the file and locates fmt/data chunks. Returns 0 on success or the
+// decoder's negative error code.
+static int wav_parse(const char* path, WavInfo* w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -86,40 +90,54 @@ int sstpu_wav_read(const char* path, float** out, int64_t* num_samples,
     std::fclose(f);
     return -2;
   }
-  std::vector<uint8_t> buf(static_cast<size_t>(size));
-  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+  w->buf.resize(static_cast<size_t>(size));
+  if (std::fread(w->buf.data(), 1, w->buf.size(), f) != w->buf.size()) {
     std::fclose(f);
     return -3;
   }
   std::fclose(f);
 
-  if (std::memcmp(buf.data(), "RIFF", 4) || std::memcmp(buf.data() + 8, "WAVE", 4))
+  if (std::memcmp(w->buf.data(), "RIFF", 4) ||
+      std::memcmp(w->buf.data() + 8, "WAVE", 4))
     return -4;
 
-  uint16_t format = 0, channels = 0, bits = 0;
-  uint32_t rate = 0;
-  const uint8_t* data_ptr = nullptr;
-  uint32_t data_len = 0;
-
   size_t pos = 12;
-  while (pos + 8 <= buf.size()) {
+  while (pos + 8 <= w->buf.size()) {
     uint32_t chunk_len;
-    std::memcpy(&chunk_len, buf.data() + pos + 4, 4);
-    const uint8_t* chunk = buf.data() + pos + 8;
-    if (!std::memcmp(buf.data() + pos, "fmt ", 4)) {
-      std::memcpy(&format, chunk, 2);
-      std::memcpy(&channels, chunk + 2, 2);
-      std::memcpy(&rate, chunk + 4, 4);
-      std::memcpy(&bits, chunk + 14, 2);
-    } else if (!std::memcmp(buf.data() + pos, "data", 4)) {
-      data_ptr = chunk;
-      data_len = chunk_len;
+    std::memcpy(&chunk_len, w->buf.data() + pos + 4, 4);
+    const uint8_t* chunk = w->buf.data() + pos + 8;
+    if (!std::memcmp(w->buf.data() + pos, "fmt ", 4)) {
+      std::memcpy(&w->format, chunk, 2);
+      std::memcpy(&w->channels, chunk + 2, 2);
+      std::memcpy(&w->rate, chunk + 4, 4);
+      std::memcpy(&w->bits, chunk + 14, 2);
+    } else if (!std::memcmp(w->buf.data() + pos, "data", 4)) {
+      w->data_ptr = chunk;
+      w->data_len = chunk_len;
     }
     pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
   }
-  if (!data_ptr || !channels || !rate) return -5;
-  if (data_ptr + data_len > buf.data() + buf.size())
-    data_len = static_cast<uint32_t>(buf.data() + buf.size() - data_ptr);
+  if (!w->data_ptr || !w->channels || !w->rate) return -5;
+  if (w->data_ptr + w->data_len > w->buf.data() + w->buf.size())
+    w->data_len =
+        static_cast<uint32_t>(w->buf.data() + w->buf.size() - w->data_ptr);
+  return 0;
+}
+
+// Decodes a RIFF/WAV file to float32 in [-1, 1], averaging channels to mono.
+// Returns 0 on success; fills *out (malloc'd, caller frees via
+// sstpu_free), *num_samples, *sample_rate.
+int sstpu_wav_read(const char* path, float** out, int64_t* num_samples,
+                   int32_t* sample_rate) {
+  *out = nullptr;
+  *num_samples = 0;
+  *sample_rate = 0;
+  WavInfo w;
+  int rc = wav_parse(path, &w);
+  if (rc) return rc;
+  const uint16_t format = w.format, channels = w.channels, bits = w.bits;
+  const uint32_t rate = w.rate, data_len = w.data_len;
+  const uint8_t* data_ptr = w.data_ptr;
 
   int64_t frames = 0;
   std::vector<float> mono;
@@ -177,6 +195,32 @@ int sstpu_wav_read(const char* path, float** out, int64_t* num_samples,
 
 void sstpu_free(void* ptr) { std::free(ptr); }
 
+// Decodes mono 16-bit PCM straight to int16 counts — no float round-trip
+// (the int16 link-transfer hot path: the sample payload is memcpy'd out of
+// the container untouched, so dequantizing i/32768 on device reproduces the
+// float decoder bit-exactly by construction). Returns -6 for any other
+// layout (multichannel / other formats); callers fall back to the float
+// decoder + quantisation.
+int sstpu_wav_read_i16(const char* path, int16_t** out, int64_t* num_samples,
+                       int32_t* sample_rate) {
+  *out = nullptr;
+  *num_samples = 0;
+  *sample_rate = 0;
+  WavInfo w;
+  int rc = wav_parse(path, &w);
+  if (rc) return rc;
+  if (!(w.format == 1 && w.bits == 16 && w.channels == 1)) return -6;
+  const int64_t frames = w.data_len / 2;
+  int16_t* result =
+      static_cast<int16_t*>(std::malloc(sizeof(int16_t) * frames));
+  if (!result) return -7;
+  std::memcpy(result, w.data_ptr, sizeof(int16_t) * frames);
+  *out = result;
+  *num_samples = frames;
+  *sample_rate = static_cast<int32_t>(w.rate);
+  return 0;
+}
+
 // Batch decode with a thread pool. paths: array of C strings; outs/lens/rates
 // arrays of size n filled per file; statuses records per-file error codes.
 void sstpu_wav_read_batch(const char** paths, int32_t n, float** outs,
@@ -190,6 +234,28 @@ void sstpu_wav_read_batch(const char** paths, int32_t n, float** outs,
       int32_t i = next.fetch_add(1);
       if (i >= n) return;
       statuses[i] = sstpu_wav_read(paths[i], &outs[i], &lens[i], &rates[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  int32_t spawn = num_threads < n ? num_threads : n;
+  threads.reserve(spawn);
+  for (int32_t t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Threaded batch variant of sstpu_wav_read_i16 (mirror of
+// sstpu_wav_read_batch).
+void sstpu_wav_read_batch_i16(const char** paths, int32_t n, int16_t** outs,
+                              int64_t* lens, int32_t* rates, int32_t* statuses,
+                              int32_t num_threads) {
+  if (num_threads <= 0) num_threads = std::thread::hardware_concurrency();
+  if (num_threads <= 0) num_threads = 4;
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      statuses[i] = sstpu_wav_read_i16(paths[i], &outs[i], &lens[i], &rates[i]);
     }
   };
   std::vector<std::thread> threads;

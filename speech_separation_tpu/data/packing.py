@@ -183,13 +183,21 @@ class PackedWaveformLoader:
             if self.drop_remainder and len(chunk) < self.rows_per_batch:
                 return
             flat_names = [self.names[i] for row in chunk for i in row]
-            decoded = load_utterance_batch(
-                self.split_dir, flat_names, self.num_speakers, self.sample_rate
-            )
+            if self.transfer_int16:
+                from .datasets import load_utterance_batch_i16
+
+                decoded = load_utterance_batch_i16(
+                    self.split_dir, flat_names, self.num_speakers, self.sample_rate
+                )
+            else:
+                decoded = load_utterance_batch(
+                    self.split_dir, flat_names, self.num_speakers, self.sample_rate
+                )
             r = len(chunk)
-            mix = np.zeros((r, self.row_samples), dtype=np.float32)
+            dtype = np.int16 if self.transfer_int16 else np.float32
+            mix = np.zeros((r, self.row_samples), dtype=dtype)
             sources = np.zeros(
-                (r, self.num_speakers, self.row_samples), dtype=np.float32
+                (r, self.num_speakers, self.row_samples), dtype=dtype
             )
             frame_seg = np.full((r, self.row_frames), -1, dtype=np.int32)
             audio = 0
@@ -207,11 +215,6 @@ class PackedWaveformLoader:
                     frame_seg[ri, q : q + k] = si
                     audio += len(m)
                     q += k + self.guard
-            if self.transfer_int16:
-                from .audio_io import quantize_i16
-
-                mix = quantize_i16(mix)
-                sources = quantize_i16(sources)
             yield PackedBatch(
                 mix,
                 sources,

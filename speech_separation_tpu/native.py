@@ -21,7 +21,14 @@ import pathlib
 
 import numpy as np
 
-__all__ = ["available", "crc32c", "wav_read", "wav_read_batch", "quantize_int16"]
+__all__ = [
+    "available",
+    "crc32c",
+    "wav_read",
+    "wav_read_batch",
+    "wav_read_batch_i16",
+    "quantize_int16",
+]
 
 _LIB_PATHS = [
     pathlib.Path(__file__).resolve().parent.parent / "native" / "libsstpu_native.so",
@@ -59,6 +66,24 @@ if _lib is not None:
     ]
     _lib.sstpu_free.restype = None
     _lib.sstpu_free.argtypes = [ctypes.c_void_p]
+    if hasattr(_lib, "sstpu_wav_read_i16"):
+        _lib.sstpu_wav_read_i16.restype = ctypes.c_int
+        _lib.sstpu_wav_read_i16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib.sstpu_wav_read_batch_i16.restype = None
+        _lib.sstpu_wav_read_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
     _lib.sstpu_quantize_int16.restype = ctypes.c_int64
     _lib.sstpu_quantize_int16.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -119,6 +144,36 @@ def wav_read_batch(
         if statuses[i] != 0:
             raise IOError(f"native wav decode failed ({statuses[i]}) for {paths[i]}")
         results.append((_take_buffer(outs[i], lens[i]), int(rates[i])))
+    return results
+
+
+def wav_read_batch_i16(
+    paths: list[str | pathlib.Path], num_threads: int = 0
+) -> list[tuple[np.ndarray, int] | None]:
+    """Decode many mono-PCM16 wavs straight to int16 counts (no float
+    round-trip — the int16 link-transfer hot path).
+
+    Entries the fast path cannot serve (multichannel, non-PCM16, missing
+    library) come back as ``None``; callers decode those via the float path
+    and quantize. Other I/O errors raise.
+    """
+    if _lib is None or not hasattr(_lib, "sstpu_wav_read_i16"):
+        return [None] * len(paths)
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_int16) * n)()
+    lens = (ctypes.c_int64 * n)()
+    rates = (ctypes.c_int32 * n)()
+    statuses = (ctypes.c_int32 * n)()
+    _lib.sstpu_wav_read_batch_i16(c_paths, n, outs, lens, rates, statuses, num_threads)
+    results: list[tuple[np.ndarray, int] | None] = []
+    for i in range(n):
+        if statuses[i] == -6:
+            results.append(None)  # layout outside the fast path
+        elif statuses[i] != 0:
+            raise IOError(f"native wav decode failed ({statuses[i]}) for {paths[i]}")
+        else:
+            results.append((_take_buffer(outs[i], lens[i]), int(rates[i])))
     return results
 
 

@@ -86,3 +86,33 @@ def test_tfrecord_writer_uses_native_crc(native_lib, tmp_path):
     path = tmp_path / "native_crc.tfrecords"
     data.write_tfrecord_file(path, records)
     assert list(data.read_tfrecord_file(path, verify_crc=True)) == records
+
+
+def test_native_i16_decode_matches_quantized_float(native_lib, fixture_root):
+    """The mono-PCM16 int16 fast path is a memcpy of the container payload:
+    it must equal quantize_i16 of the float decode bit-for-bit (and imply
+    the i/32768 dequantization reproduces the float decoder exactly)."""
+    from speech_separation_tpu.data.audio_io import quantize_i16
+
+    paths = sorted((fixture_root / "tt" / "mix").glob("*.wav"))[:3]
+    decoded = native_lib.wav_read_batch_i16(paths)
+    assert all(d is not None for d in decoded)
+    for p, (i16, rate) in zip(paths, decoded):
+        f32, rate_f = native_lib.wav_read(p)
+        assert rate == rate_f
+        assert i16.dtype == np.int16
+        np.testing.assert_array_equal(i16, quantize_i16(f32))
+        np.testing.assert_array_equal(i16.astype(np.float32) / 32768.0, f32)
+
+
+def test_native_i16_decode_rejects_nonmono(native_lib, tmp_path):
+    """Layouts outside the fast path come back as None (float fallback)."""
+    from scipy.io import wavfile
+
+    stereo = (np.random.default_rng(0).standard_normal((100, 2)) * 1000).astype(
+        np.int16
+    )
+    path = tmp_path / "stereo.wav"
+    wavfile.write(str(path), 8000, stereo)
+    (result,) = native_lib.wav_read_batch_i16([path])
+    assert result is None
