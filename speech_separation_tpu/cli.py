@@ -139,10 +139,13 @@ def cmd_train(args) -> None:
         model = _build_upit_model_from_cfg(cfg)
         params = model.init(rng, _example_input(cfg))["params"]
         tx = (
-            train.adam(cfg.learning_rate)
+            train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
             if cfg.variant == "tasnet"
             else train.exponential_decay_adam(
-                cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+                cfg.learning_rate,
+                cfg.lr_decay_steps,
+                cfg.lr_decay_rate,
+                grad_clip_norm=cfg.grad_clip_norm,
             )
         )
         state = train.TrainState.create(model.apply, params, tx, rng)
@@ -394,10 +397,13 @@ def _restore_upit(checkpoint_dir: str):
     rng = jax.random.key(cfg.seed)
     params = model.init(rng, _example_input(cfg))["params"]
     tx = (
-        train.adam(cfg.learning_rate)
+        train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
         if cfg.variant == "tasnet"
         else train.exponential_decay_adam(
-            cfg.learning_rate, cfg.lr_decay_steps, cfg.lr_decay_rate
+            cfg.learning_rate,
+            cfg.lr_decay_steps,
+            cfg.lr_decay_rate,
+            grad_clip_norm=cfg.grad_clip_norm,
         )
     )
     state = train.TrainState.create(model.apply, params, tx, rng)

@@ -59,6 +59,7 @@ class UPitTrainConfig:
     learning_rate: float = 1e-3
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
+    grad_clip_norm: float = 0.0  # >0: optax global-norm gradient clipping (bounds transient loss spikes in long runs)
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)
     blstm_pallas_scan: bool = False  # blstm: fused Pallas fwd+bwd recurrence kernels (ops/lstm_train_pallas.py)
     pack: bool = False  # blstm: sequence-packed rows (data/packing.py) — one compiled shape, ~95% frame occupancy

@@ -201,3 +201,24 @@ def test_plot_history_writes_png(tmp_path):
     jsonl.write_text('{"step": 1, "loss": 2.0}\n{"step": 2, "loss": 1.0}\n')
     out2 = plot_metrics_file(jsonl, tmp_path / "m.png")
     assert out2.exists()
+
+
+def test_grad_clip_norm_optimizer():
+    """grad_clip_norm>0 chains global-norm clipping ahead of the optimiser:
+    updating with a huge gradient equals updating with the pre-clipped one."""
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+
+    params = {"w": jnp.ones((4,))}
+    big = {"w": jnp.full((4,), 1e6)}
+    tx = train.exponential_decay_adam(grad_clip_norm=0.5)
+    upd, _ = tx.update(big, tx.init(params), params)
+    tx0 = train.exponential_decay_adam()
+    clipped = {"w": big["w"] * (0.5 / jnp.linalg.norm(big["w"]))}
+    upd_ref, _ = tx0.update(clipped, tx0.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd["w"]), np.asarray(upd_ref["w"]), rtol=1e-6)
+    # disabled (0.0) keeps the plain optimiser state structure (checkpoint compat)
+    assert jax.tree_util.tree_structure(
+        train.adam(1e-3, grad_clip_norm=0.0).init(params)
+    ) == jax.tree_util.tree_structure(train.adam(1e-3).init(params))
