@@ -87,6 +87,8 @@ def main():
         sort_by_length=True,
         drop_remainder=shuffle,
         seed=0,
+        # INT16=1: int16 PCM over the relay link (bit-exact; RESULTS.md)
+        transfer_int16=bool(int(os.environ.get("INT16", "0"))),
     )
     OUT.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(OUT / "metrics.jsonl")
