@@ -11,6 +11,7 @@ Usage: python scripts/three_speaker_corpus_run.py [OUT_DIR] [EPOCHS] [PROFILE]
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -29,7 +30,9 @@ from speech_separation_tpu.evaluate import evaluate_directory
 OUT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else pathlib.Path("/tmp/s3_corpus")
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 80
 PROFILE = sys.argv[3] if len(sys.argv) > 3 else "hard"
-SPLITS = {"tr": 400, "cv": 50, "tt": 50}
+# TR_UTTS: training-corpus size (the 400-utterance default run overfit by
+# epoch ~26 — see RESULTS.md; larger corpora probe the data-starvation wall)
+SPLITS = {"tr": int(os.environ.get("TR_UTTS", "400")), "cv": 50, "tt": 50}
 
 
 def main():
@@ -52,6 +55,10 @@ def main():
         "bf16_compute": True,
         "patience": 10**9,
         "seed": 0,
+        # round-3 product features, both measured elsewhere: int16 link
+        # transfer (bit-exact, RESULTS.md) and spike-bounding grad clipping
+        "transfer_int16": bool(int(os.environ.get("INT16", "0"))),
+        "grad_clip_norm": float(os.environ.get("CLIP", "0")),
     }))
     t0 = time.time()
     cli.main([

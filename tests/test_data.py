@@ -295,3 +295,26 @@ def test_transfer_int16_step_parity(fixture_root):
     ):
         assert bi.mix.dtype == np.int16
         np.testing.assert_array_equal(bf.mix, bi.mix.astype(np.float32) / 32768.0)
+
+
+def test_load_utterance_batch_i16_resample_fallback(fixture_root):
+    """When the int16 fast path can't serve (resampling needed), the loader
+    falls back to float decode + quantize — same values as quantizing the
+    float batch."""
+    from speech_separation_tpu.data.audio_io import quantize_i16
+    from speech_separation_tpu.data.datasets import (
+        load_utterance_batch,
+        load_utterance_batch_i16,
+    )
+
+    names = sorted(
+        p.name for p in (fixture_root / "tt" / "mix").glob("*.wav")
+    )[:2]
+    # 4 kHz target != the fixture's 8 kHz files → every file resamples
+    f32 = load_utterance_batch(fixture_root / "tt", names, 2, 4000)
+    i16 = load_utterance_batch_i16(fixture_root / "tt", names, 2, 4000)
+    for (mf, sf), (mi, si) in zip(f32, i16):
+        assert mi.dtype == np.int16
+        np.testing.assert_array_equal(mi, quantize_i16(mf))
+        for a, b in zip(sf, si):
+            np.testing.assert_array_equal(b, quantize_i16(a))
