@@ -65,7 +65,15 @@ def main():
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, 8, 129)))["params"]
     state = train.TrainState.create(
-        model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
+        model.apply,
+        params,
+        # CLIP>0: global-norm gradient clipping (bounds the transient loss
+        # spikes seen in long runs — RESULTS.md, epochs 56-60 of the 100-epoch run)
+        train.exponential_decay_adam(
+            decay_steps=2000,
+            grad_clip_norm=float(os.environ.get("CLIP", "0")),
+        ),
+        rng,
     )
     pallas = bool(int(os.environ.get("PALLAS", "0")))
     packed = bool(int(os.environ.get("PACK", "0")))
