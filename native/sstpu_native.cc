@@ -106,7 +106,12 @@ static int wav_parse(const char* path, WavInfo* w) {
     uint32_t chunk_len;
     std::memcpy(&chunk_len, w->buf.data() + pos + 4, 4);
     const uint8_t* chunk = w->buf.data() + pos + 8;
+    // bound declared lengths by the actual payload (truncated/malformed
+    // files must not read past the buffer)
+    const size_t avail = w->buf.size() - pos - 8;
+    if (chunk_len > avail) chunk_len = static_cast<uint32_t>(avail);
     if (!std::memcmp(w->buf.data() + pos, "fmt ", 4)) {
+      if (chunk_len < 16) return -5;  // fmt chunk too short to hold fields
       std::memcpy(&w->format, chunk, 2);
       std::memcpy(&w->channels, chunk + 2, 2);
       std::memcpy(&w->rate, chunk + 4, 4);
@@ -115,7 +120,7 @@ static int wav_parse(const char* path, WavInfo* w) {
       w->data_ptr = chunk;
       w->data_len = chunk_len;
     }
-    pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
+    pos += 8 + static_cast<size_t>(chunk_len) + (chunk_len & 1);  // word-aligned
   }
   if (!w->data_ptr || !w->channels || !w->rate) return -5;
   if (w->data_ptr + w->data_len > w->buf.data() + w->buf.size())

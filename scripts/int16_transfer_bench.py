@@ -73,6 +73,8 @@ def main() -> None:
                 jnp.asarray(b.frame_seg),
             )
             audio += b.audio_seconds
+        if loss is None:
+            raise SystemExit(f"no batches found under {SPLIT} — generate the corpus first")
         loss = float(loss)  # host sync: the epoch is truly done
         return time.time() - t0, audio
 

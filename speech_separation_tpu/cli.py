@@ -536,14 +536,14 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
     if use_int16:
         # dequantize the int16 upload on device; quantize estimates before
-        # the fetch (pipeline._quant_i16 convention) — half the wire bytes
+        # the fetch (ops/quant.py convention: per-signal scale, no clipping)
+        from .ops.quant import dequant_i16, quantize_estimates_i16
+
         _inner = _base
 
         def _base(p, m):
-            est = _inner(p, m.astype(jnp.float32) * (1.0 / 32768.0))
-            return jnp.clip(
-                jnp.round(est.astype(jnp.float32) * 32768.0), -32768, 32767
-            ).astype(jnp.int16)
+            est = _inner(p, dequant_i16(m)).astype(jnp.float32)
+            return quantize_estimates_i16(est)
 
     dp_mesh = None
     if getattr(args, "dp", False):
@@ -562,7 +562,7 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                 _base,
                 mesh=dp_mesh,
                 in_specs=(P(), P("data")),
-                out_specs=P("data"),
+                out_specs=(P("data"), P("data")) if use_int16 else P("data"),
                 check_vma=False,
             )
         )
@@ -674,9 +674,16 @@ def _separate_time_domain(cfg, model, state, args) -> None:
 
             (mix,), n_real = pad_batch_for_mesh((mix,), dp_mesh)
             (mix,) = shard_batch((mix,), dp_mesh)
-        est = _np.asarray(separate(params, mix))[:n_real]
-        if est.dtype == _np.int16:
-            est = est.astype(_np.float32) / 32768.0
+        out = separate(params, mix)
+        if use_int16:
+            from .ops.quant import dequantize_estimates_i16
+
+            codes, scale = out
+            est = dequantize_estimates_i16(
+                _np.asarray(codes)[:n_real], _np.asarray(scale)[:n_real]
+            )
+        else:
+            est = _np.asarray(out)[:n_real]
         for i, name in enumerate(b.names):
             stem = pathlib.Path(name).stem
             n = int(b.sample_lengths[i])
@@ -1098,9 +1105,10 @@ def main(argv=None) -> None:
         "--transfer-int16",
         action="store_true",
         help="ship int16 PCM over the host<->device link both ways (half the "
-        "wire bytes: upload bit-exact for 16-bit sources, estimates "
-        "quantized on device within 0.5 LSB of the int16 wavs written "
-        "anyway); standard full-utterance path only",
+        "wire bytes: upload bit-exact for 16-bit sources; estimates "
+        "quantized on device with a per-signal scale — no clipping, "
+        "~0.5 LSB of the int16 wavs written); standard full-utterance "
+        "path only",
     )
     p.add_argument(
         "--kernel",

@@ -140,10 +140,19 @@ def wav_read_batch(
     statuses = (ctypes.c_int32 * n)()
     _lib.sstpu_wav_read_batch(c_paths, n, outs, lens, rates, statuses, num_threads)
     results = []
+    first_error = None
     for i in range(n):
         if statuses[i] != 0:
-            raise IOError(f"native wav decode failed ({statuses[i]}) for {paths[i]}")
-        results.append((_take_buffer(outs[i], lens[i]), int(rates[i])))
+            # keep consuming: later entries hold malloc'd buffers that must
+            # be freed even when an earlier file failed
+            if first_error is None:
+                first_error = IOError(
+                    f"native wav decode failed ({statuses[i]}) for {paths[i]}"
+                )
+        else:
+            results.append((_take_buffer(outs[i], lens[i]), int(rates[i])))
+    if first_error is not None:
+        raise first_error
     return results
 
 
@@ -167,13 +176,20 @@ def wav_read_batch_i16(
     statuses = (ctypes.c_int32 * n)()
     _lib.sstpu_wav_read_batch_i16(c_paths, n, outs, lens, rates, statuses, num_threads)
     results: list[tuple[np.ndarray, int] | None] = []
+    first_error = None
     for i in range(n):
         if statuses[i] == -6:
             results.append(None)  # layout outside the fast path
         elif statuses[i] != 0:
-            raise IOError(f"native wav decode failed ({statuses[i]}) for {paths[i]}")
+            # consume the rest before raising — unfreed buffers would leak
+            if first_error is None:
+                first_error = IOError(
+                    f"native wav decode failed ({statuses[i]}) for {paths[i]}"
+                )
         else:
             results.append((_take_buffer(outs[i], lens[i]), int(rates[i])))
+    if first_error is not None:
+        raise first_error
     return results
 
 

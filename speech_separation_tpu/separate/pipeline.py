@@ -45,20 +45,11 @@ def separated_length(frames: int, size: int, shift: int) -> int:
     return frames * shift - (size - shift)
 
 
-def _dequant(wave):
-    """int16 PCM batches pass the host↔device link at half the fp32 bytes;
-    dequantize on device to the decoder's exact float (``i / 32768``).
-    Trace-time dtype branch — float inputs are untouched."""
-    if wave.dtype == jnp.int16:
-        return wave.astype(jnp.float32) * (1.0 / 32768.0)
-    return wave
-
-
-def _quant_i16(wave):
-    """Device-side int16 quantization of estimates before the host fetch
-    (half the fetch bytes; ≤0.5 LSB error — below the int16 wav the host
-    writes anyway)."""
-    return jnp.clip(jnp.round(wave * 32768.0), -32768, 32767).astype(jnp.int16)
+from ..ops.quant import (  # single home for the int16 wire convention
+    dequant_i16 as _dequant,
+    dequantize_estimates_i16,
+    quantize_estimates_i16,
+)
 
 
 def make_separate_fn(
@@ -85,8 +76,9 @@ def make_separate_fn(
     ``tests/test_parallel.py``).
 
     ``mix`` may be int16 PCM (dequantized on device — half the upload bytes);
-    ``quantize_output=True`` returns int16 estimates (half the fetch bytes,
-    ≤0.5 LSB of the int16 wav the caller writes anyway).
+    ``quantize_output=True`` returns ``(codes int16, scale)`` per
+    ``ops.quant.quantize_estimates_i16`` (half the fetch bytes, no clipping
+    at any estimate amplitude).
     """
 
     def separate(params, mix, frame_lengths):
@@ -110,7 +102,7 @@ def make_separate_fn(
             est_spec = jax.lax.complex(masked * cos, masked * sin)
             wavs.append(istft(est_spec, size, shift, method=method))
         out = jnp.stack(wavs, axis=1)
-        return _quant_i16(out) if quantize_output else out
+        return quantize_estimates_i16(out) if quantize_output else out
 
     if dp_mesh is None:
         return jax.jit(separate)
@@ -121,7 +113,9 @@ def make_separate_fn(
     repl = NamedSharding(dp_mesh, P())
     bsh = NamedSharding(dp_mesh, P("data"))
     return jax.jit(
-        separate, in_shardings=(repl, bsh, bsh), out_shardings=bsh
+        separate,
+        in_shardings=(repl, bsh, bsh),
+        out_shardings=(bsh, bsh) if quantize_output else bsh,
     )
 
 
@@ -342,9 +336,10 @@ def separate_directory(
     size and trimmed after.
 
     ``transfer_int16``: ship int16 PCM over the host↔device link in BOTH
-    directions (upload bit-exact for 16-bit sources; estimates quantized on
-    device, ≤0.5 LSB of the int16 wavs written anyway) — halves the bytes on
-    the wire, which dominates end-to-end wall time on slow links.
+    directions (upload bit-exact for 16-bit sources; estimates via
+    ``ops.quant.quantize_estimates_i16`` — per-signal scale, no clipping,
+    ≈0.5 LSB of the int16 wavs written for in-range signals) — halves the
+    bytes on the wire for link-bound deployments.
     """
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -379,9 +374,14 @@ def separate_directory(
             mix, lens = shard_batch((mix, lens), dp_mesh)
         else:
             mix, lens = jnp.asarray(mix), jnp.asarray(lens)
-        wavs = np.asarray(separate(params, mix, lens))[:n_real]
-        if wavs.dtype == np.int16:
-            wavs = wavs.astype(np.float32) / 32768.0
+        out = separate(params, mix, lens)
+        if transfer_int16:
+            codes, scale = out
+            wavs = dequantize_estimates_i16(
+                np.asarray(codes)[:n_real], np.asarray(scale)[:n_real]
+            )
+        else:
+            wavs = np.asarray(out)[:n_real]
         for i, name in enumerate(batch.names):
             stem = pathlib.Path(name).stem
             true_len = separated_length(int(batch.frame_lengths[i]), size, shift)

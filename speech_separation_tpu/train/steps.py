@@ -32,15 +32,9 @@ __all__ = [
 ]
 
 
-def _dequant(wave):
-    """Accept int16 PCM batches (loaders' ``transfer_int16=True`` — half the
-    host→device bytes on the relay link) transparently: dequantize on device
-    to exactly the float the host decoder produces for 16-bit PCM
-    (``i / 32768``). A trace-time dtype branch — float inputs pass through
-    untouched and each loader config compiles once."""
-    if wave.dtype == jnp.int16:
-        return wave.astype(jnp.float32) * (1.0 / 32768.0)
-    return wave
+# int16 batches from loaders' transfer_int16=True dequantize on device
+# (ops/quant.py — the single home for the wire convention)
+from ..ops.quant import dequant_i16 as _dequant  # noqa: E402
 
 
 def make_upit_waveform_steps(
