@@ -318,3 +318,28 @@ def test_load_utterance_batch_i16_resample_fallback(fixture_root):
         np.testing.assert_array_equal(mi, quantize_i16(mf))
         for a, b in zip(sf, si):
             np.testing.assert_array_equal(b, quantize_i16(a))
+
+
+def test_quantize_estimates_no_clipping():
+    """Estimates above full scale survive the int16 fetch within 15-bit
+    relative precision (no flat-topping — the per-signal scale absorbs the
+    overshoot); in-range signals stay within ~0.5 LSB."""
+    from speech_separation_tpu.ops.quant import (
+        dequantize_estimates_i16,
+        quantize_estimates_i16,
+    )
+
+    rng = np.random.default_rng(0)
+    wave = rng.standard_normal((2, 3, 500)).astype(np.float32)
+    wave[0, 0] *= 1.7  # loud estimate: would clip under round(x*32768)
+    codes, scale = quantize_estimates_i16(jnp.asarray(wave))
+    codes, scale = np.asarray(codes), np.asarray(scale)
+    assert codes.dtype == np.int16
+    assert scale.shape == (2, 3)
+    back = dequantize_estimates_i16(codes, scale)
+    err = np.abs(back - wave)
+    tol = np.maximum(np.abs(wave).max(axis=-1, keepdims=True), 1.0) / 65534 * 1.01
+    assert (err <= tol).all()
+    # the loud channel really exceeded full scale and was not clipped flat
+    assert np.abs(wave[0, 0]).max() > 1.0
+    assert np.abs(back[0, 0]).max() == pytest.approx(np.abs(wave[0, 0]).max(), rel=1e-4)
