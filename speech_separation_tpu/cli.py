@@ -427,6 +427,10 @@ def cmd_separate(args) -> None:
         # device (halo-exchange STFT/iSTFT; see parallel/sequence.py)
         import jax
 
+        if getattr(args, "transfer_int16", False):
+            print("note: --transfer-int16 applies to the standard "
+                  "full-utterance path; ignored under --long-utterance")
+
         from . import parallel
 
         mesh = parallel.make_mesh(data=1, model=len(jax.devices()))
