@@ -83,10 +83,16 @@ def main():
     if packed:
         # PACK=1: sequence-packed rows (one static shape, zero padding
         # waste, exact per-utterance semantics — data/packing.py)
-        probe = data.PackedWaveformLoader(BAND / "train-360", rows_per_batch=16)
+        # num_segments must bound BOTH splits: a dev row packing more
+        # segments than the bound would silently drop those utterances from
+        # the val loss (pit_loss_packed one-hot never matches their ids)
+        num_segments = max(
+            data.PackedWaveformLoader(BAND / s, rows_per_batch=16).num_segments
+            for s in ("train-360", "dev")
+        )
         train_step, eval_step = train.make_upit_packed_steps(
             model, compute_dtype=jnp.bfloat16, pallas_scan=pallas,
-            num_segments=probe.num_segments,
+            num_segments=num_segments,
         )
 
         def batch_arrays(b):

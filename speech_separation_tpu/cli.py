@@ -218,20 +218,31 @@ def cmd_train(args) -> None:
             # ~95% frame occupancy, exact per-utterance semantics.
             if cfg.variant != "blstm":
                 raise ValueError("pack=true is only supported for the blstm variant")
-            make_loader = lambda split, shuffle: data.PackedWaveformLoader(
-                root / split,
-                rows_per_batch=cfg.pack_rows_per_batch,
-                row_seconds=cfg.pack_row_seconds,
-                sample_rate=cfg.stft.sample_rate,
-                stft_size=cfg.stft.size,
-                stft_shift=cfg.stft.shift,
-                num_speakers=cfg.num_speakers,
-                shuffle=shuffle,
-                seed=cfg.seed,
-                transfer_int16=cfg.transfer_int16,
-            )
+            _packed_loaders = {}  # one header scan per split, reused by fit
+
+            def make_loader(split, shuffle):
+                if split not in _packed_loaders:
+                    _packed_loaders[split] = data.PackedWaveformLoader(
+                        root / split,
+                        rows_per_batch=cfg.pack_rows_per_batch,
+                        row_seconds=cfg.pack_row_seconds,
+                        sample_rate=cfg.stft.sample_rate,
+                        stft_size=cfg.stft.size,
+                        stft_shift=cfg.stft.shift,
+                        num_speakers=cfg.num_speakers,
+                        shuffle=shuffle,
+                        seed=cfg.seed,
+                        transfer_int16=cfg.transfer_int16,
+                        # shuffled epochs re-plan rows, so a ragged final
+                        # batch would change row count per epoch — each a
+                        # fresh XLA/Pallas compile; drop it (val keeps all
+                        # rows: its unshuffled plan is stable)
+                        drop_remainder=shuffle,
+                    )
+                return _packed_loaders[split]
+
             num_segments = max(
-                make_loader(cfg.train_split, False).num_segments,
+                make_loader(cfg.train_split, True).num_segments,
                 make_loader(cfg.val_split, False).num_segments,
             )
             train_step, eval_step = train.make_upit_packed_steps(
@@ -518,10 +529,11 @@ def _separate_time_domain(cfg, model, state, args) -> None:
         stride = cfg.tasnet_win // 2
 
         def _base(p, m):
-            pad = (-m.shape[1]) % stride
+            orig = m.shape[1]
+            pad = (-orig) % stride
             if pad:
                 m = jnp.pad(m, ((0, 0), (0, pad)))
-            return pallas_apply(
+            est = pallas_apply(
                 p,
                 m,
                 num_speakers=cfg.num_speakers,
@@ -532,6 +544,9 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                 blocks=cfg.tasnet_blocks,
                 repeats=cfg.tasnet_repeats,
             )
+            # trim the stride padding: downstream consumers (streaming hops,
+            # chunk stitching) assume output length == input length
+            return est[:, :, :orig]
 
     else:
 

@@ -189,14 +189,6 @@ class WaveformLoader:
         n = len(self.names)
         return n // self.batch_size if self.drop_remainder else math.ceil(n / self.batch_size)
 
-    def _load_one(self, name: str):
-        mix = audioread(self.split_dir / "mix" / name, self.sample_rate)
-        sources = [
-            audioread(self.split_dir / f"s{i + 1}" / name, self.sample_rate)
-            for i in range(self.num_speakers)
-        ]
-        return mix, sources
-
     def _load_batch(self, names):
         loader = load_utterance_batch_i16 if self.transfer_int16 else load_utterance_batch
         return loader(self.split_dir, names, self.num_speakers, self.sample_rate)

@@ -141,9 +141,17 @@ class PackedWaveformLoader:
         # fading=True gives every utterance (size − shift) zeros of its own
         # on both ends — segments pack back-to-back with no guard frames
         self.guard = 0
-        self._lengths = [
-            wav_duration_samples(self.split_dir / "mix" / n)[0] for n in self.names
-        ]
+        if not self.names:
+            raise ValueError(f"no utterances found under {self.split_dir}")
+        self._lengths = []
+        for n in self.names:
+            frames, rate = wav_duration_samples(self.split_dir / "mix" / n)
+            if rate != self.sample_rate:
+                # decode resamples (audio_io.audioread): plan with the
+                # decoded length, not the header length, or row placement
+                # would silently overlap neighbouring utterances
+                frames = round(frames * float(self.sample_rate) / rate)
+            self._lengths.append(frames)
         self._frames = [
             stft_frame_count(l, self.stft_size, self.stft_shift)
             for l in self._lengths
@@ -162,6 +170,9 @@ class PackedWaveformLoader:
         return used / (len(rows) * self.row_frames)
 
     def __len__(self) -> int:
+        # NOTE: planned with the deterministic epoch-0 order; shuffled epochs
+        # re-plan under their permutation and can differ by ±1 batch — treat
+        # len() as an estimate for progress display, not a step budget.
         rows = plan_rows(
             self._frames, self.row_frames, self.guard, np.arange(len(self.names))
         )

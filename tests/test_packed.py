@@ -203,3 +203,30 @@ def test_packed_loader_and_step_parity(tmp_path):
         state, jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.frame_seg)
     )
     assert np.isfinite(float(loss))
+
+
+def test_packed_loader_plans_with_decoded_lengths(tmp_path):
+    """A split at a different native rate must be planned with the DECODED
+    (resampled) lengths — header lengths would overlap neighbouring
+    utterances in the packed rows (review regression)."""
+    from speech_separation_tpu.data import make_synthetic_fixture
+
+    root = make_synthetic_fixture(
+        tmp_path / "fx16", utterances_per_split=4, sample_rate=16000,
+        min_seconds=0.6, max_seconds=1.2,
+    )
+    loader = PackedWaveformLoader(
+        root / "tt", rows_per_batch=2, row_seconds=4.0, sample_rate=8000,
+        stft_size=64, stft_shift=32,
+    )
+    batches = list(loader)
+    names = [n for b in batches for row in b.names for n in row]
+    assert sorted(names) == sorted(loader.names)
+    # planned lengths equal the decoded (8 kHz) lengths, half the header's
+    from speech_separation_tpu.data.audio_io import audioread, wav_duration_samples
+
+    for n, planned in zip(loader.names, loader._lengths):
+        decoded = audioread(root / "tt" / "mix" / n, 8000)
+        header = wav_duration_samples(root / "tt" / "mix" / n)[0]
+        assert planned == len(decoded)
+        assert abs(header - 2 * planned) <= 1
