@@ -116,3 +116,44 @@ def test_native_i16_decode_rejects_nonmono(native_lib, tmp_path):
     wavfile.write(str(path), 8000, stereo)
     (result,) = native_lib.wav_read_batch_i16([path])
     assert result is None
+
+
+def test_native_decoder_survives_malformed_wavs(native_lib, tmp_path):
+    """Truncated/malformed RIFF containers must come back as error codes
+    (or None on the i16 path), never crash or read out of bounds — the
+    parser clamps declared chunk lengths to the actual payload."""
+    from scipy.io import wavfile
+
+    good = tmp_path / "good.wav"
+    wavfile.write(str(good), 8000, (np.arange(200) % 100).astype(np.int16))
+    payload = good.read_bytes()
+
+    cases = {
+        # fmt chunk header as the very last 8 bytes (declared fields missing)
+        "fmt_at_eof": payload[:12] + b"fmt \x10\x00\x00\x00",
+        # data chunk declaring far more bytes than the file holds
+        "data_overrun": payload.replace(
+            b"data", b"data", 1
+        )[: len(payload) - 150],
+        # truncated mid-header
+        "short": payload[:20],
+        # declared fmt length shorter than the fields the parser needs
+        "tiny_fmt": payload[:12] + b"fmt \x04\x00\x00\x00" + b"\x01\x00\x01\x00",
+        "garbage": bytes(64),
+    }
+    for name, blob in cases.items():
+        path = tmp_path / f"{name}.wav"
+        path.write_bytes(blob)
+        with pytest.raises(IOError):
+            native_lib.wav_read(path)
+        # i16 path: clean per-file fallback (None) or a clean IOError —
+        # what matters is no crash / no OOB read
+        try:
+            result = native_lib.wav_read_batch_i16([path])
+            assert result[0] is None
+        except IOError:
+            pass
+
+    # the good file still decodes after all that
+    sig, rate = native_lib.wav_read(good)
+    assert rate == 8000 and sig.size == 200
