@@ -15,6 +15,11 @@ writes for in-range signals, 15-bit relative precision above full scale).
 
 Used by ``train/steps.py``, ``separate/pipeline.py`` and the CLI serving
 paths; consolidating here keeps the convention from silently diverging.
+
+No reference counterpart (beyond parity): the reference feeds float32
+host↔device throughout; this module exists because TPU-pod-style
+deployments are frequently interconnect-bound on the data path (measured
+1.74× end-to-end corpus epochs on this relay-attached chip — RESULTS.md).
 """
 
 from __future__ import annotations
