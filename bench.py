@@ -227,7 +227,43 @@ def bench_blstm_train(batch=32, seconds=8, iters=8, pallas=True):
     return measure
 
 
+def _device_watchdog(timeout_s: float = 600.0) -> None:
+    """Fail fast with one parseable JSON line if the TPU backend never
+    answers (the axon relay has shown multi-hour outages): a daemon thread
+    hard-exits unless device init completes within ``timeout_s``. JAX's
+    backend init is not interruptible in-process, hence os._exit."""
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def _watch() -> None:
+        if not ready.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "separation_throughput",
+                        "value": 0.0,
+                        "unit": "x_realtime_per_chip",
+                        "vs_baseline": 0.0,
+                        "floor_ok": False,
+                        "extra": {"error": f"TPU backend unreachable after {timeout_s:.0f}s"},
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    import jax
+
+    jax.devices()  # blocks until the backend answers (or the watchdog fires)
+    ready.set()
+
+
 def main() -> None:
+    _device_watchdog()
+
     import jax.numpy as jnp
 
     import jax
