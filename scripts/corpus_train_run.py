@@ -132,6 +132,9 @@ def main():
         )
     OUT.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(OUT / "metrics.jsonl")
+    # checkpoint best-val state and resume from it if present: long runs
+    # must survive relay outages (a multi-hour one killed a 150-epoch run)
+    ckpt = train.CheckpointManager(OUT / "ckpt")
     t0 = time.time()
     result = train.fit(
         state,
@@ -142,7 +145,10 @@ def main():
         batch_arrays,
         epochs=EPOCHS,
         metrics=logger,
+        checkpoints=ckpt,
+        resume=bool(int(os.environ.get("RESUME", "1"))),
     )
+    ckpt.close()
     logger.close()
     train_s = time.time() - t0
 
