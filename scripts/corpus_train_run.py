@@ -80,7 +80,36 @@ def main():
     # INT16=1: ship int16 PCM over the relay link (half the bytes,
     # bit-exact for the 16-bit corpus wavs; steps dequantize on device)
     int16 = bool(int(os.environ.get("INT16", "0")))
-    if packed:
+    # RESIDENT=1 (implies PACK): upload the whole packed corpus to HBM once;
+    # steps take only row indices — epochs go compute-bound on any link
+    resident = bool(int(os.environ.get("RESIDENT", "0")))
+    if resident:
+        # RESIDENT=1: whole packed corpus in HBM; per-step wire = row idx
+        tr = data.ResidentPackedCorpus(
+            BAND / "train-360", rows_per_batch=16, shuffle=True, seed=0,
+            transfer_int16=True,  # resident upload is one-time; int16 halves HBM
+        )
+        dv = data.ResidentPackedCorpus(
+            BAND / "dev", rows_per_batch=16, transfer_int16=True,
+        )
+        num_segments = max(tr.num_segments, dv.num_segments)
+        train_step, _ = train.make_upit_packed_resident_steps(
+            model, tr.mix, tr.sources, tr.frame_seg,
+            compute_dtype=jnp.bfloat16, pallas_scan=pallas,
+            num_segments=num_segments,
+        )
+        _, eval_step = train.make_upit_packed_resident_steps(
+            model, dv.mix, dv.sources, dv.frame_seg,
+            compute_dtype=jnp.bfloat16, pallas_scan=pallas,
+            num_segments=num_segments,
+        )
+
+        def batch_arrays(idx):
+            return (jnp.asarray(idx),)
+
+        _loaders = {"train-360": tr, "dev": dv}
+        make_loader = lambda split, shuffle: _loaders[split]
+    elif packed:
         # PACK=1: sequence-packed rows (one static shape, zero padding
         # waste, exact per-utterance semantics — data/packing.py)
         # num_segments must bound BOTH splits: a dev row packing more
@@ -164,6 +193,7 @@ def main():
         "pallas_scan": bool(int(os.environ.get("PALLAS", "0"))),
         "packed": bool(int(os.environ.get("PACK", "0"))),
         "transfer_int16": int16,
+        "resident": resident,
         "epochs": EPOCHS,
         "train_utterances": 1700,
         "history_loss": [round(x, 3) for x in result.history["loss"]],

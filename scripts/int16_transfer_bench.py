@@ -81,39 +81,80 @@ def main() -> None:
     state = train.TrainState.create(
         model.apply, params, train.exponential_decay_adam(decay_steps=2000), rng
     )
-    # warm-up: compile both dtype programs once (fp32 + int16 inputs)
-    for int16 in (False, True):
-        wall, _ = one_epoch(int16, state)
+
+    # third variant: device-resident corpus (data/device_dataset.py) — one
+    # upload, per-step wire = a 16-int row-index array
+    resident = data.ResidentPackedCorpus(
+        SPLIT, rows_per_batch=16, shuffle=True, seed=0
+    )
+    res_step, _ = train.make_upit_packed_resident_steps(
+        model,
+        resident.mix,
+        resident.sources,
+        resident.frame_seg,
+        compute_dtype=jnp.bfloat16,
+        pallas_scan=True,
+        num_segments=resident.num_segments,
+        donate_state=False,
+    )
+
+    def one_resident_epoch(state) -> float:
+        t0 = time.time()
+        loss = None
+        for idx in resident:
+            state, loss = res_step(state, jnp.asarray(idx))
+        float(loss)
+        return time.time() - t0
+
+    variants = {
+        "fp32": lambda: one_epoch(False, state)[0],
+        "int16": lambda: one_epoch(True, state)[0],
+        "resident": lambda: one_resident_epoch(state),
+    }
+    for name, run in variants.items():  # compile all programs once
         print(
-            json.dumps({"stage": "warmup", "int16": int16, "wall_s": round(wall, 2)}),
+            json.dumps({"stage": "warmup", "variant": name, "wall_s": round(run(), 2)}),
             flush=True,
         )
 
-    walls: dict[bool, list[float]] = {False: [], True: []}
-    audio_s = 0.0
+    walls: dict[str, list[float]] = {k: [] for k in variants}
+    audio_s = resident.audio_seconds
     for _ in range(TRIALS):
-        for int16 in (False, True):
-            wall, audio_s = one_epoch(int16, state)
-            walls[int16].append(wall)
+        for name, run in variants.items():
+            wall = run()
+            walls[name].append(wall)
             print(
-                json.dumps({"stage": "trial", "int16": int16, "wall_s": round(wall, 2)}),
+                json.dumps({"stage": "trial", "variant": name, "wall_s": round(wall, 2)}),
                 flush=True,
             )
-    med_f32 = statistics.median(walls[False])
-    med_i16 = statistics.median(walls[True])
+    med = {k: statistics.median(v) for k, v in walls.items()}
     print(
         json.dumps(
             {
                 "corpus": str(ROOT),
                 "trials": TRIALS,
                 "epoch_audio_s": round(audio_s, 1),
-                "fp32_epoch_s": round(med_f32, 2),
-                "int16_epoch_s": round(med_i16, 2),
-                "fp32_band_s": [round(min(walls[False]), 2), round(max(walls[False]), 2)],
-                "int16_band_s": [round(min(walls[True]), 2), round(max(walls[True]), 2)],
-                "speedup": round(med_f32 / med_i16, 3),
-                "fp32_audio_s_per_s": round(audio_s / med_f32, 1),
-                "int16_audio_s_per_s": round(audio_s / med_i16, 1),
+                **{f"{k}_epoch_s": round(v, 2) for k, v in med.items()},
+                "bands_s": {
+                    k: [round(min(v), 2), round(max(v), 2)] for k, v in walls.items()
+                },
+                "int16_speedup": round(med["fp32"] / med["int16"], 3),
+                "resident_speedup": round(med["fp32"] / med["resident"], 3),
+                **{
+                    f"{k}_audio_s_per_s": round(
+                        # shuffled resident epochs drop the ragged row tail
+                        (
+                            audio_s
+                            * (len(resident) * resident.rows_per_batch)
+                            / resident.num_rows
+                            if k == "resident"
+                            else audio_s
+                        )
+                        / v,
+                        1,
+                    )
+                    for k, v in med.items()
+                },
             }
         ),
         flush=True,

@@ -9,6 +9,7 @@ from .datasets import (
     background_iterator,
     prefetch_to_device,
 )
+from .device_dataset import ResidentPackedCorpus
 from .packing import PackedBatch, PackedWaveformLoader
 from .features import FeatureConfig, generate_librimix, generate_split, max_length, utterance_names
 from .fixture import make_synthetic_fixture, make_synthetic_librimix
@@ -36,6 +37,7 @@ __all__ = [
     "prefetch_to_device",
     "PackedBatch",
     "PackedWaveformLoader",
+    "ResidentPackedCorpus",
     "FeatureConfig",
     "generate_split",
     "generate_librimix",

@@ -4,6 +4,7 @@ from .optim import adam, exponential_decay_adam, nadam
 from .state import TrainState
 from .steps import (
     make_time_domain_steps,
+    make_upit_packed_resident_steps,
     make_upit_packed_steps,
     make_upit_raw_steps,
     make_upit_spectrogram_steps,
@@ -20,6 +21,7 @@ __all__ = [
     "nadam",
     "TrainState",
     "make_time_domain_steps",
+    "make_upit_packed_resident_steps",
     "make_upit_packed_steps",
     "make_upit_raw_steps",
     "make_upit_spectrogram_steps",

@@ -25,6 +25,7 @@ from ..ops.features import psm_features
 __all__ = [
     "make_upit_waveform_steps",
     "make_upit_packed_steps",
+    "make_upit_packed_resident_steps",
     "make_upit_raw_steps",
     "make_upit_spectrogram_steps",
     "make_vae_steps",
@@ -105,33 +106,17 @@ def make_upit_waveform_steps(
     return train_step, eval_step
 
 
-def make_upit_packed_steps(
+def _packed_loss_builder(
     model,
-    size: int = 256,
-    shift: int = 128,
-    num_speakers: int = 2,
-    num_segments: int = 8,
-    donate_state: bool = True,
-    compute_dtype=None,
-    pallas_scan: bool = False,
+    size: int,
+    shift: int,
+    num_speakers: int,
+    num_segments: int,
+    compute_dtype,
+    pallas_scan: bool,
 ):
-    """Steps over sequence-packed rows (``data/packing.py``):
-    ``(mix [R, row_samples], sources [R, n, row_samples],
-    frame_seg [R, row_frames])``.
-
-    Semantics are exactly :func:`make_upit_waveform_steps` applied to each
-    packed utterance individually — segment-id carry resets isolate
-    utterances inside the BiLSTM, and :func:`pit_loss_packed` runs the
-    permutation search per segment (the returned loss is the same "sum over
-    utterances" the unpacked step reports; parity pinned in
-    ``tests/test_packed.py``). Every batch has one static shape: one XLA /
-    Pallas compile for the whole corpus, and no padding waste beyond one
-    guard frame per utterance.
-
-    ``pallas_scan=True`` routes the recurrences through the packed variant
-    of the fused fwd+bwd Pallas kernels
-    (``ops/lstm_train_pallas.bilstm_train_pallas_packed``).
-    """
+    """The packed-row loss shared by the loader-fed and device-resident
+    step factories (semantics documented on :func:`make_upit_packed_steps`)."""
     if pallas_scan:
         from ..models.upit import upit_blstm_train_forward
 
@@ -165,6 +150,40 @@ def make_upit_packed_steps(
             preds, feats.labels, frame_seg, num_speakers, num_segments
         )
 
+    return _loss
+
+
+def make_upit_packed_steps(
+    model,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    num_segments: int = 8,
+    donate_state: bool = True,
+    compute_dtype=None,
+    pallas_scan: bool = False,
+):
+    """Steps over sequence-packed rows (``data/packing.py``):
+    ``(mix [R, row_samples], sources [R, n, row_samples],
+    frame_seg [R, row_frames])``.
+
+    Semantics are exactly :func:`make_upit_waveform_steps` applied to each
+    packed utterance individually — segment-id carry resets isolate
+    utterances inside the BiLSTM, and :func:`pit_loss_packed` runs the
+    permutation search per segment (the returned loss is the same "sum over
+    utterances" the unpacked step reports; parity pinned in
+    ``tests/test_packed.py``). Every batch has one static shape: one XLA /
+    Pallas compile for the whole corpus, and no padding waste beyond one
+    guard frame per utterance.
+
+    ``pallas_scan=True`` routes the recurrences through the packed variant
+    of the fused fwd+bwd Pallas kernels
+    (``ops/lstm_train_pallas.bilstm_train_pallas_packed``).
+    """
+    _loss = _packed_loss_builder(
+        model, size, shift, num_speakers, num_segments, compute_dtype, pallas_scan
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def train_step(state, mix, sources, frame_seg):
         rng, sub = jax.random.split(state.rng)
@@ -175,6 +194,61 @@ def make_upit_packed_steps(
 
     @jax.jit
     def eval_step(state, mix, sources, frame_seg):
+        return _loss(state.params, mix, sources, frame_seg, state.rng, True)
+
+    return train_step, eval_step
+
+
+def make_upit_packed_resident_steps(
+    model,
+    mix_all,
+    sources_all,
+    frame_seg_all,
+    size: int = 256,
+    shift: int = 128,
+    num_speakers: int = 2,
+    num_segments: int = 8,
+    donate_state: bool = True,
+    compute_dtype=None,
+    pallas_scan: bool = False,
+):
+    """:func:`make_upit_packed_steps` over a **device-resident corpus**
+    (``data/device_dataset.ResidentPackedCorpus``): the packed row arrays
+    live in HBM once, and each step takes only ``idx [R] int32`` — the
+    per-step host→device traffic is a few dozen bytes instead of the rows
+    themselves. Rows are gathered on device (``jnp.take``), then the exact
+    packed loss runs; losses/gradients are identical to the loader-fed
+    steps on the same rows (pinned in ``tests/test_packed.py``).
+
+    The closed-over arrays are captured by the jitted programs (passed by
+    reference each call, never re-uploaded). No reference counterpart —
+    this is the TPU-idiomatic answer to input-bound training: the
+    reference streams every batch from host TFRecords each step
+    (`uPIT_baseline.ipynb cell 31`).
+    """
+    _loss = _packed_loss_builder(
+        model, size, shift, num_speakers, num_segments, compute_dtype, pallas_scan
+    )
+
+    def _gather(idx):
+        return (
+            jnp.take(mix_all, idx, axis=0),
+            jnp.take(sources_all, idx, axis=0),
+            jnp.take(frame_seg_all, idx, axis=0),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
+    def train_step(state, idx):
+        mix, sources, frame_seg = _gather(idx)
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, mix, sources, frame_seg, sub, False
+        )
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    @jax.jit
+    def eval_step(state, idx):
+        mix, sources, frame_seg = _gather(idx)
         return _loss(state.params, mix, sources, frame_seg, state.rng, True)
 
     return train_step, eval_step
