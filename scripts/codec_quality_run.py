@@ -1,6 +1,16 @@
-"""VQ-VAE t3 codec quality run on the fixture (reference protocol: train on
-`tr` s1, validate on `cv`, report reconstruction SI-SDR — `_t3 cell 25`
-reached 32.95 dB on its data)."""
+"""VQ-VAE codec quality run on the fixture — all four reference generations.
+
+Reference protocol: train on `tr` s1 audio, report reconstruction SI-SDR.
+Recorded reference values to match-or-beat (their own notebook outputs):
+
+  gumbel  ≈ 3.55 dB train recon   (`vq-vae_for_1d_data.ipynb cell 22`)
+  v2      −18.4 dB @ ep1, unstable (`vq-vae_for_1d_data_2.ipynb cell 22`)
+  t2      29.28 dB                 (`_t2 cell 22`)
+  t3      32.95 dB                 (`_t3 cell 25`)
+
+Usage: python scripts/codec_quality_run.py [STEPS] [VARIANT]
+  VARIANT ∈ {t3 (default), t2, v2, gumbel}
+"""
 
 import json
 import pathlib
@@ -16,30 +26,41 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from speech_separation_tpu import data, train
 from speech_separation_tpu.losses import si_sdr, summed_squared_error
-from speech_separation_tpu.models import VqVaeT3
+from speech_separation_tpu.models import VqVaeCodebook, VqVaeGumbel, VqVaeT2, VqVaeT3
 
 FIXTURE = pathlib.Path("/root/reference/mycode/wsj0_2mix/use_this")
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+VARIANT = sys.argv[2] if len(sys.argv) > 2 else "t3"
 EVAL_EVERY = 500
+
+# variant → (model ctor, loader kwargs, optimizer, reference recorded dB)
+VARIANTS = {
+    "t3": (VqVaeT3, dict(stacked=True, stride_alignment=8), lambda: train.nadam(1e-3), 32.95),
+    "t2": (VqVaeT2, dict(stacked=True, stride_alignment=4), lambda: train.nadam(1e-3), 29.28),
+    "v2": (VqVaeCodebook, dict(stacked=True, stride_alignment=4), lambda: train.adam(1e-3), -18.4),
+    "gumbel": (VqVaeGumbel, dict(stacked=False), lambda: train.adam(1e-4), 3.55),
+}
 
 
 def main():
-    loader = data.VaeLoader(FIXTURE / "tr", batch_size=4, stacked=True, stride_alignment=8)
+    model_cls, loader_kwargs, make_tx, ref_db = VARIANTS[VARIANT]
+    loader = data.VaeLoader(FIXTURE / "tr", batch_size=4, **loader_kwargs)
     batch = next(iter(loader))
     x = jnp.asarray(batch.inputs)
     targets = jnp.asarray(batch.targets)
     lengths = np.asarray(batch.lengths)
 
-    model = VqVaeT3()
+    model = model_cls()
     rng = jax.random.key(42)
     params = model.init(rng, x)["params"]
-    state = train.TrainState.create(model.apply, params, train.nadam(1e-3), rng)
+    state = train.TrainState.create(model.apply, params, make_tx(), rng)
 
     def loss_flat(preds, t):
         return summed_squared_error(preds.reshape(preds.shape[0], -1, 1), t)
 
     train_step, eval_step = train.make_vae_steps(model, loss_flat)
 
+    best = -np.inf
     t0 = time.time()
     for step in range(1, STEPS + 1):
         state, loss, recon = train_step(state, x, targets)
@@ -52,12 +73,17 @@ def main():
                              jnp.asarray(tgt[i : i + 1, : lengths[i]]))[0])
                 for i in range(flat.shape[0])
             ]
+            mean_db = float(np.mean(scores))
+            best = max(best, mean_db)
             print(
                 json.dumps(
                     {
+                        "variant": VARIANT,
                         "step": step,
                         "loss": float(loss),
-                        "recon_si_sdr_db": round(float(np.mean(scores)), 3),
+                        "recon_si_sdr_db": round(mean_db, 3),
+                        "best_db": round(best, 3),
+                        "reference_db": ref_db,
                         "wall_s": round(time.time() - t0, 1),
                     }
                 ),

@@ -11,6 +11,15 @@ corpus if it's not already present.
 Usage: python scripts/tasnet_corpus_run.py [CORPUS_ROOT] [EPOCHS] [pallas] [BATCH]
   ``pallas``: train through the fused Pallas fwd+bwd trunk
   (`make_time_domain_steps(pallas_trunk=True)`) — fastest at batch ≥ 32.
+
+Convergence levers (round 4 — VERDICT item 2):
+  DM=1          dynamic mixing: re-pair sources across utterances each epoch
+                with fresh ±2.5 dB gains (WaveformLoader(dynamic_mix=True))
+  LR_SCHED=cosine  warmup+cosine decay over the whole run (train.cosine_adam)
+  LR=1e-3       peak learning rate     WARMUP=500  warmup steps
+  CLIP=5        global-norm gradient clipping
+  TR_UTTS=1700  train-split size when generating the corpus
+  RESUME=1      restore the newest best-val checkpoint before training
 """
 
 import json
@@ -55,24 +64,58 @@ def _alias_mix(split_dir: pathlib.Path) -> None:
         os.symlink("mix_clean", mix)
 
 
+TR_UTTS = int(os.environ.get("TR_UTTS", "1700"))
+
+
 def main():
     if not ROOT.exists():
         t0 = time.time()
         make_synthetic_librimix(
             ROOT,
-            utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": 1700},
+            utterances={"dev": 50, "test": 50, "train-100": 200, "train-360": TR_UTTS},
             min_seconds=2.0,
             max_seconds=6.0,
             profile=PROFILE,
+            bands=("wav8k",),
+            conditions=("min",),
         )
         print(json.dumps({"stage": "corpus_gen", "wall_s": round(time.time() - t0, 1)}), flush=True)
     for split in ("train-360", "dev", "test"):
         _alias_mix(BAND / split)
 
+    dynamic_mix = bool(int(os.environ.get("DM", "0")))
+    clip = float(os.environ.get("CLIP", "0"))
+
+    def make_loader(split, shuffle):
+        return WaveformLoader(
+            BAND / split,
+            batch_size=BATCH,
+            shuffle=shuffle,
+            sort_by_length=True,
+            drop_remainder=shuffle,
+            seed=0,
+            # INT16=1: int16 PCM over the relay link (bit-exact; RESULTS.md)
+            transfer_int16=bool(int(os.environ.get("INT16", "0"))),
+            # DM=1 on the train loader only: eval stays on fixed mixtures
+            dynamic_mix=dynamic_mix and shuffle,
+        )
+
+    train_loader = make_loader("train-360", True)
+
     model = ConvTasNet()
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, 16000)))["params"]
-    state = train.TrainState.create(model.apply, params, train.adam(1e-3), rng)
+    lr = float(os.environ.get("LR", "1e-3"))
+    if os.environ.get("LR_SCHED", "") == "cosine":
+        tx = train.cosine_adam(
+            peak_learning_rate=lr,
+            total_steps=EPOCHS * len(train_loader),
+            warmup_steps=int(os.environ.get("WARMUP", "500")),
+            grad_clip_norm=clip,
+        )
+    else:
+        tx = train.adam(lr, grad_clip_norm=clip)
+    state = train.TrainState.create(model.apply, params, tx, rng)
     train_step, eval_step = train.make_time_domain_steps(
         model, compute_dtype=jnp.bfloat16, pallas_trunk=PALLAS
     )
@@ -80,29 +123,23 @@ def main():
     def batch_arrays(b):
         return (jnp.asarray(b.mix), jnp.asarray(b.sources), jnp.asarray(b.sample_lengths))
 
-    make_loader = lambda split, shuffle: WaveformLoader(
-        BAND / split,
-        batch_size=BATCH,
-        shuffle=shuffle,
-        sort_by_length=True,
-        drop_remainder=shuffle,
-        seed=0,
-        # INT16=1: int16 PCM over the relay link (bit-exact; RESULTS.md)
-        transfer_int16=bool(int(os.environ.get("INT16", "0"))),
-    )
     OUT.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(OUT / "metrics.jsonl")
+    ckpt = train.CheckpointManager(OUT / "ckpt")
     t0 = time.time()
     result = train.fit(
         state,
         train_step,
         eval_step,
-        make_loader("train-360", True),
+        train_loader,
         make_loader("dev", False),
         batch_arrays,
         epochs=EPOCHS,
         metrics=logger,
+        checkpoints=ckpt,
+        resume=bool(int(os.environ.get("RESUME", "1"))),
     )
+    ckpt.close()
     logger.close()
     train_s = time.time() - t0
 
@@ -133,7 +170,9 @@ def main():
         "epochs": EPOCHS,
         "batch": BATCH,
         "pallas_trunk": PALLAS,
-        "train_utterances": 1700,
+        "train_utterances": TR_UTTS,
+        "dynamic_mix": bool(int(os.environ.get("DM", "0"))),
+        "lr_sched": os.environ.get("LR_SCHED", "const"),
         "history_loss": [round(x, 3) for x in result.history["loss"]],
         "history_val_loss": [round(x, 3) for x in result.history["val_loss"]],
         "train_wall_s": round(train_s, 1),

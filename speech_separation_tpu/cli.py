@@ -628,8 +628,10 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                     "written": written,
                     "out_dir": str(out_dir),
                     "streaming_hop_s": args.streaming_hop_seconds,
-                    "median_hop_latency_ms": round(
-                        float(_np.median(all_lat)) * 1e3, 2
+                    # first hop per utterance is dropped as compile/warmup;
+                    # single-hop utterances leave all_lat empty → null, not NaN
+                    "median_hop_latency_ms": (
+                        round(float(_np.median(all_lat)) * 1e3, 2) if all_lat else None
                     ),
                 }
             )

@@ -111,6 +111,23 @@ def load_utterance_batch(split_dir, names, num_speakers: int, sample_rate: int):
     return out
 
 
+def load_source_files(split_dir, names, slot: int, sample_rate: int):
+    """Decode one source slot (``s{slot+1}/name`` for every name) to float32,
+    via the native thread-pool decoder when available (dynamic-mixing path:
+    slots are re-paired across utterances, so rows are loaded per slot)."""
+    split_dir = pathlib.Path(split_dir)
+    paths = [split_dir / f"s{slot + 1}" / n for n in names]
+    try:
+        from .. import native
+    except ImportError:
+        native = None
+    if native is not None and native.available():
+        decoded = native.wav_read_batch(paths)
+        if all(sr == sample_rate for _, sr in decoded):
+            return [d for d, _ in decoded]
+    return [audioread(p, sample_rate) for p in paths]
+
+
 def load_utterance_batch_i16(split_dir, names, num_speakers: int, sample_rate: int):
     """int16 variant of :func:`load_utterance_batch` for the link-transfer
     hot path: mono-PCM16 files at the target rate are memcpy'd straight to
@@ -167,6 +184,18 @@ class WaveformLoader:
     # steps dequantize on device, bit-exactly for 16-bit sources
     # (audio_io.quantize_i16)
     transfer_int16: bool = False
+    # dynamic mixing (the standard wsj0-2mix augmentation; no reference
+    # counterpart — its mixtures are fixed on disk): every epoch re-pairs
+    # source slots ACROSS utterances (fresh speaker combinations, ~N^2
+    # distinct mixtures from N utterances), applies fresh zero-mean gain
+    # offsets within ±dynamic_gain_db, random-crops the longer sources,
+    # and remixes mix = Σ gained sources on the host. Targets are the
+    # gained sources, so loss semantics are unchanged.
+    dynamic_mix: bool = False
+    dynamic_gain_db: float = 2.5
+    # re-pair only within windows of this many adjacent batches in the
+    # length-sorted order, bounding truncation loss from length mismatch
+    dynamic_window_batches: int = 4
     names: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -185,6 +214,12 @@ class WaveformLoader:
             self.names = [n for _, n in sorted(zip(durations, self.names))]
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (resume support): the per-epoch RNG is
+        seeded with ``seed + epoch``, so a resumed run continues the
+        shuffle stream instead of replaying epoch 0 (advisor round 3)."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.names)
         return n // self.batch_size if self.drop_remainder else math.ceil(n / self.batch_size)
@@ -194,20 +229,40 @@ class WaveformLoader:
         return loader(self.split_dir, names, self.num_speakers, self.sample_rate)
 
     def __iter__(self) -> Iterator[WaveformBatch]:
-        order = np.arange(len(self.names))
+        epoch = self._epoch
+        n = len(self.names)
+        pos = np.arange(n)
+        slot_idx = None
+        dm_rng = None
+        if self.dynamic_mix:
+            # per-epoch re-pairing: slot 0 keeps its utterance; slots 1..S-1
+            # draw their source from a permutation WITHIN adjacent-length
+            # windows (names are length-sorted under sort_by_length)
+            dm_rng = np.random.default_rng((self.seed, 7919, epoch))
+            w = max(1, self.dynamic_window_batches * self.batch_size)
+            slot_idx = np.tile(pos, (self.num_speakers, 1))
+            for s in range(1, self.num_speakers):
+                for ws in range(0, n, w):
+                    seg = slot_idx[s, ws : ws + w]
+                    dm_rng.shuffle(seg)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             self._epoch += 1
             if self.sort_by_length:
                 # preserve the length grouping: shuffle whole batches, not rows
                 groups = [
-                    order[s : s + self.batch_size]
-                    for s in range(0, len(order), self.batch_size)
+                    pos[s : s + self.batch_size]
+                    for s in range(0, n, self.batch_size)
                 ]
                 rng.shuffle(groups)
-                order = np.concatenate(groups)
+                pos = np.concatenate(groups) if groups else pos
             else:
-                order = rng.permutation(order)
+                pos = rng.permutation(pos)
+        elif self.dynamic_mix:
+            self._epoch += 1  # fresh pairings/gains even without shuffling
+        order = pos
+        if slot_idx is not None:
+            slot_idx = slot_idx[:, pos]
         quantum = self.pad_quantum_samples or max(
             1, int(self.pad_quantum_seconds * self.sample_rate)
         )
@@ -216,6 +271,11 @@ class WaveformLoader:
             if self.drop_remainder and len(idx) < self.batch_size:
                 return
             names = tuple(self.names[i] for i in idx)
+            if self.dynamic_mix:
+                yield self._dynamic_batch(
+                    slot_idx[:, start : start + len(idx)], names, quantum, dm_rng
+                )
+                continue
             loaded = self._load_batch(names)
             lengths = np.asarray([len(m) for m, _ in loaded], dtype=np.int32)
             padded = _round_up(int(lengths.max()), quantum)
@@ -235,6 +295,54 @@ class WaveformLoader:
                 dtype=np.int32,
             )
             yield WaveformBatch(mix, sources, lengths, frame_lengths, names)
+
+    def _dynamic_batch(self, batch_slots, names, quantum, dm_rng) -> WaveformBatch:
+        """Assemble one dynamically-mixed batch: decode each slot's (possibly
+        re-paired) source files, random-crop every source to the row's
+        shortest, apply fresh zero-mean per-source gains, remix on host."""
+        S, b = batch_slots.shape
+        decoded = [
+            load_source_files(
+                self.split_dir,
+                [self.names[i] for i in batch_slots[s]],
+                s,
+                self.sample_rate,
+            )
+            for s in range(S)
+        ]
+        lengths = np.asarray(
+            [min(len(decoded[s][i]) for s in range(S)) for i in range(b)],
+            dtype=np.int32,
+        )
+        padded = _round_up(int(lengths.max()), quantum)
+        gains_db = dm_rng.uniform(-self.dynamic_gain_db, self.dynamic_gain_db, (b, S))
+        gains_db -= gains_db.mean(axis=1, keepdims=True)
+        gains = 10.0 ** (gains_db / 20.0)
+        out_dtype = np.int16 if self.transfer_int16 else np.float32
+        sources = np.zeros((b, S, padded), dtype=out_dtype)
+        for i in range(b):
+            ln = int(lengths[i])
+            for s in range(S):
+                src = decoded[s][i]
+                off = int(dm_rng.integers(0, len(src) - ln + 1))
+                cut = src[off : off + ln] * gains[i, s]
+                if self.transfer_int16:
+                    sources[i, s, :ln] = quantize_i16(cut)
+                else:
+                    sources[i, s, :ln] = cut
+        if self.transfer_int16:
+            # mix as the int32 sum of the quantized sources so the device-side
+            # dequantized mix equals the dequantized sources' sum exactly
+            mix = np.clip(
+                sources.astype(np.int32).sum(axis=1), -32768, 32767
+            ).astype(np.int16)
+        else:
+            mix = sources.sum(axis=1)
+        frame_lengths = np.asarray(
+            [stft_frame_count(int(x), self.stft_size, self.stft_shift) for x in lengths],
+            dtype=np.int32,
+        )
+        return WaveformBatch(mix, sources, lengths, frame_lengths, names)
 
 
 def load_tfrecord_spectrograms(
@@ -322,6 +430,12 @@ class VaeLoader:
         if not self.names:
             self.names = utterance_names(self.split_dir)
         self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (resume support): the per-epoch RNG is
+        seeded with ``seed + epoch``, so a resumed run continues the
+        shuffle stream instead of replaying epoch 0 (advisor round 3)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return math.ceil(len(self.names) / self.batch_size)

@@ -91,6 +91,12 @@ class ResidentPackedCorpus:
         self.frame_seg = put(frame_seg)
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (resume support): the per-epoch RNG is
+        seeded with ``seed + epoch``, so a resumed run continues the
+        shuffle stream instead of replaying epoch 0 (advisor round 3)."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         if self.shuffle:
             return self.num_rows // self.rows_per_batch

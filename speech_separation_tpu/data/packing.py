@@ -160,6 +160,12 @@ class PackedWaveformLoader:
         self.num_segments = self.row_frames // (min(self._frames) + self.guard) + 1
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (resume support): the per-epoch RNG is
+        seeded with ``seed + epoch``, so a resumed run continues the
+        shuffle stream instead of replaying epoch 0 (advisor round 3)."""
+        self._epoch = int(epoch)
+
     def frame_occupancy(self) -> float:
         """Fraction of row frames carrying real utterance content (planning
         with the deterministic epoch-0 order)."""

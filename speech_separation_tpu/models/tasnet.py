@@ -63,6 +63,33 @@ class _GlobalLayerNorm(nn.Module):
         return out.astype(self.dtype or x.dtype)
 
 
+class _CumulativeLayerNorm(nn.Module):
+    """cLN: per-step normalisation over channels × the PAST time steps only
+    (Luo & Mesgarani §2.3, the causal-configuration norm). At step t the
+    statistics cover ``x[:, :t+1, :]`` — realisable online with two running
+    sums, so a causally-trained model scores the same hop-by-hop as offline
+    (the gLN variant loses ~3 dB when streamed; RESULTS.md round 3).
+    Stats in fp32 via cumulative sums (exact under XLA's fp32 cumsum)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        x32 = x.astype(jnp.float32)
+        csum = jnp.cumsum(jnp.sum(x32, axis=2), axis=1)  # [B, T]
+        csum_sq = jnp.cumsum(jnp.sum(jnp.square(x32), axis=2), axis=1)
+        count = c * jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)  # [T]
+        mean = csum / count
+        var = jnp.maximum(csum_sq / count - jnp.square(mean), 0.0)
+        out = (
+            gamma * (x32 - mean[..., None]) / jnp.sqrt(var + 1e-8)[..., None] + beta
+        )
+        return out.astype(self.dtype or x.dtype)
+
+
 class _PReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -76,23 +103,28 @@ class _TCNBlock(nn.Module):
     kernel: int
     dilation: int
     dtype: Any = None
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        norm_cls = _CumulativeLayerNorm if self.causal else _GlobalLayerNorm
         y = nn.Conv(self.hidden, (1,), dtype=self.dtype, name="expand")(x)
         y = _PReLU(name="prelu1")(y)
-        y = _GlobalLayerNorm(dtype=self.dtype, name="norm1")(y)
+        y = norm_cls(dtype=self.dtype, name="norm1")(y)
         y = nn.Conv(
             self.hidden,
             (self.kernel,),
             kernel_dilation=(self.dilation,),
             feature_group_count=self.hidden,
-            padding="SAME",
+            # causal: all taps from the past — pad (kernel−1)·dilation left
+            padding=[((self.kernel - 1) * self.dilation, 0)]
+            if self.causal
+            else "SAME",
             dtype=self.dtype,
             name="depthwise",
         )(y)
         y = _PReLU(name="prelu2")(y)
-        y = _GlobalLayerNorm(dtype=self.dtype, name="norm2")(y)
+        y = norm_cls(dtype=self.dtype, name="norm2")(y)
         residual = nn.Conv(self.bottleneck, (1,), dtype=self.dtype, name="res_out")(y)
         skip = nn.Conv(self.bottleneck, (1,), dtype=self.dtype, name="skip_out")(y)
         return x + residual, skip
@@ -109,6 +141,12 @@ class ConvTasNet(nn.Module):
     repeats: int = 3
     dtype: Any = None  # compute dtype (e.g. jnp.bfloat16 for serving)
     remat: bool = False  # rematerialize each TCN block in the backward pass
+    # causal configuration (Luo & Mesgarani §2.3): cumulative layer norm +
+    # left-padded depthwise convs, so no mask depends on future frames and
+    # hop-by-hop streaming matches the same model's offline output (modulo
+    # the encoder/decoder windows' win//2-sample lookahead). Trained via the
+    # XLA step path (the fused Pallas trunks implement the gLN topology).
+    causal: bool = False
 
     @nn.compact
     def __call__(self, mix: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -129,7 +167,8 @@ class ConvTasNet(nn.Module):
             )(mix[..., None].astype(self.dtype or mix.dtype))
         )  # [B, K, N]
 
-        h = _GlobalLayerNorm(dtype=self.dtype, name="input_norm")(feats)
+        norm_cls = _CumulativeLayerNorm if self.causal else _GlobalLayerNorm
+        h = norm_cls(dtype=self.dtype, name="input_norm")(feats)
         h = nn.Conv(self.bottleneck, (1,), dtype=self.dtype, name="input_proj")(h)
         skip_sum = jnp.zeros_like(h)
         # remat trades ~1/3 more FLOPs in backward for not storing each
@@ -144,6 +183,7 @@ class ConvTasNet(nn.Module):
                     self.kernel,
                     2**x,
                     dtype=self.dtype,
+                    causal=self.causal,
                     name=f"tcn_{r}_{x}",
                 )(h)
                 skip_sum = skip_sum + skip

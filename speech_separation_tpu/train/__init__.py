@@ -1,6 +1,6 @@
 from .checkpoint import CheckpointManager
 from .loop import FitResult, fit
-from .optim import adam, exponential_decay_adam, nadam
+from .optim import adam, cosine_adam, exponential_decay_adam, nadam
 from .state import TrainState
 from .steps import (
     make_time_domain_steps,
@@ -17,6 +17,7 @@ __all__ = [
     "FitResult",
     "fit",
     "adam",
+    "cosine_adam",
     "exponential_decay_adam",
     "nadam",
     "TrainState",

@@ -73,9 +73,13 @@ def fit(
     how many steps a divergent run can waste before it is aborted (0 → only
     check at epoch end).
     """
+    epoch_offset = 0
     if resume and checkpoints is not None:
         try:
             state = checkpoints.restore(state, step=checkpoints.latest_step)
+            # continue the shuffle stream: a resumed run must not replay the
+            # original run's epoch-0 batch order (checkpoint steps = epochs)
+            epoch_offset = int(checkpoints.latest_step or 0)
             log_fn(f"resumed from checkpoint step {checkpoints.latest_step}")
         except FileNotFoundError:
             pass
@@ -86,6 +90,8 @@ def fit(
     global_step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
 
     for epoch in range(1, epochs + 1):
+        if epoch_offset and hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch_offset + epoch - 1)
         t0 = time.time()
         train_losses = []
         diverged_at = None

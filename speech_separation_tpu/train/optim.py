@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import optax
 
-__all__ = ["exponential_decay_adam", "adam", "nadam"]
+__all__ = ["exponential_decay_adam", "adam", "nadam", "cosine_adam"]
 
 
 def _maybe_clip(
@@ -21,10 +21,18 @@ def _maybe_clip(
     The reference trains unclipped (and so do our defaults); long
     corpus-scale runs showed transient loss spikes (RESULTS.md — epochs
     56–60 of the 100-epoch hard run jumped 1,445→2,173 before recovering),
-    which clipping bounds without changing steady-state behaviour."""
-    if grad_clip_norm <= 0:
-        return tx
-    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    which clipping bounds without changing steady-state behaviour.
+
+    Always wraps in ``optax.chain`` (identity when clip<=0) so the
+    ``opt_state`` pytree STRUCTURE is independent of the clip setting —
+    resuming a checkpointed run with a different CLIP value must restore
+    cleanly (advisor round 3)."""
+    head = (
+        optax.clip_by_global_norm(grad_clip_norm)
+        if grad_clip_norm > 0
+        else optax.identity()
+    )
+    return optax.chain(head, tx)
 
 
 def exponential_decay_adam(
@@ -53,3 +61,26 @@ def nadam(
     learning_rate: float = 1e-3, grad_clip_norm: float = 0.0
 ) -> optax.GradientTransformation:
     return _maybe_clip(optax.nadam(learning_rate), grad_clip_norm)
+
+
+def cosine_adam(
+    peak_learning_rate: float = 1e-3,
+    total_steps: int = 10_000,
+    warmup_steps: int = 0,
+    end_scale: float = 0.05,
+    grad_clip_norm: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam on a warmup+cosine-decay schedule for corpus-scale convergence.
+
+    The reference's exp-decay staircase (`uPIT_baseline.ipynb cell 27`) was
+    tuned for its 2-step toy epochs; at corpus scale a horizon-aware cosine
+    to ``end_scale × peak`` is what lets long runs keep improving instead of
+    plateauing at a too-high constant LR (VERDICT round 3, item 2)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if warmup_steps else peak_learning_rate,
+        peak_value=peak_learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=end_scale * peak_learning_rate,
+    )
+    return _maybe_clip(optax.adam(schedule), grad_clip_norm)

@@ -343,3 +343,46 @@ def test_quantize_estimates_no_clipping():
     # the loud channel really exceeded full scale and was not clipped flat
     assert np.abs(wave[0, 0]).max() > 1.0
     assert np.abs(back[0, 0]).max() == pytest.approx(np.abs(wave[0, 0]).max(), rel=1e-4)
+
+
+def test_dynamic_mix_loader(fixture_root):
+    """dynamic_mix: mix ≡ Σ sources exactly, fresh pairings/gains per epoch,
+    epochs reproducible via set_epoch (resume support)."""
+    from speech_separation_tpu.data.datasets import WaveformLoader
+
+    loader = WaveformLoader(
+        fixture_root / "tr", batch_size=2, shuffle=True, sort_by_length=True,
+        dynamic_mix=True, seed=0,
+    )
+    b1 = list(iter(loader))
+    b2 = list(iter(loader))  # epoch advanced -> new gains/pairings
+    for b in b1:
+        np.testing.assert_allclose(b.mix, b.sources.sum(axis=1), rtol=0, atol=1e-6)
+        # every row zero-padded past its true length
+        for i, n in enumerate(b.sample_lengths):
+            assert np.all(b.sources[i, :, n:] == 0)
+    assert any(
+        a.mix.shape != b.mix.shape or not np.allclose(a.mix, b.mix)
+        for a, b in zip(b1, b2)
+    ), "dynamic mixing must change the mixtures across epochs"
+    loader.set_epoch(0)
+    b1_again = list(iter(loader))
+    for a, b in zip(b1, b1_again):
+        np.testing.assert_array_equal(a.mix, b.mix)
+
+
+def test_dynamic_mix_loader_int16(fixture_root):
+    """int16 transfer under dynamic mixing: the device-side dequantized mix
+    must equal the dequantized sources' sum exactly (mix built as the int32
+    sum of the quantized sources)."""
+    from speech_separation_tpu.data.datasets import WaveformLoader
+
+    loader = WaveformLoader(
+        fixture_root / "tr", batch_size=2, shuffle=True, dynamic_mix=True,
+        transfer_int16=True, seed=1,
+    )
+    for b in iter(loader):
+        assert b.mix.dtype == np.int16 and b.sources.dtype == np.int16
+        np.testing.assert_array_equal(
+            b.mix.astype(np.int32), b.sources.astype(np.int32).sum(axis=1)
+        )

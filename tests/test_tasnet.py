@@ -151,3 +151,59 @@ def test_remat_blocks_same_params_and_outputs():
     gb = jax.grad(lambda p: loss(rem, p))(params)
     for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_causal_tasnet_is_causal():
+    """causal=True: no output sample before a future perturbation changes
+    (up to the encoder/decoder window lookahead); the gLN model, whose
+    global norms couple all timesteps, must bleed backwards (control)."""
+    m = ConvTasNet(num_speakers=2, win=16, kernel=3, causal=True, **TINY)
+    x = jnp.asarray(RNG.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    params = m.init(jax.random.key(0), x)["params"]
+    y1 = m.apply({"params": params}, x)
+    x2 = x.at[:, 1200:].add(1.0)
+    y2 = m.apply({"params": params}, x2)
+    diff = np.abs(np.asarray(y1 - y2))
+    t_safe = 1200 - 16  # one encoder window of lookahead allowed
+    assert float(diff[:, :, :t_safe].max()) == 0.0
+    assert float(diff[:, :, 1200:].max()) > 1e-3  # future did change
+
+    g = ConvTasNet(num_speakers=2, win=16, kernel=3, causal=False, **TINY)
+    pg = g.init(jax.random.key(0), x)["params"]
+    gd = np.abs(np.asarray(g.apply({"params": pg}, x) - g.apply({"params": pg}, x2)))
+    assert float(gd[:, :, :t_safe].max()) > 1e-4  # gLN is non-causal
+
+
+def test_cumulative_layer_norm_matches_prefix_gln():
+    """cLN at step t ≡ gLN computed over the prefix x[:, :t+1, :]."""
+    from speech_separation_tpu.models.tasnet import (
+        _CumulativeLayerNorm,
+        _GlobalLayerNorm,
+    )
+
+    x = jnp.asarray(RNG.standard_normal((2, 7, 5)).astype(np.float32))
+    cln = _CumulativeLayerNorm()
+    params = cln.init(jax.random.key(1), x)["params"]
+    got = np.asarray(cln.apply({"params": params}, x))
+    gln = _GlobalLayerNorm()
+    gparams = gln.init(jax.random.key(1), x[:, :1])["params"]
+    for t in range(x.shape[1]):
+        want_t = np.asarray(gln.apply({"params": gparams}, x[:, : t + 1]))[:, -1]
+        np.testing.assert_allclose(got[:, t], want_t, rtol=1e-4, atol=1e-5)
+
+
+def test_causal_tasnet_trains():
+    m = ConvTasNet(num_speakers=2, win=16, kernel=3, causal=True, **TINY)
+    t = 1600
+    sources = jnp.asarray(RNG.standard_normal((2, 2, t)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([t, t - 200], jnp.int32)
+    params = m.init(jax.random.key(0), mix)["params"]
+    state = train.TrainState.create(m.apply, params, train.adam(1e-3), jax.random.key(0))
+    step, _ = train.make_time_domain_steps(m, donate_state=False)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, mix, sources, lengths)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
