@@ -20,6 +20,12 @@ Convergence levers (round 4 — VERDICT item 2):
   CLIP=5        global-norm gradient clipping
   TR_UTTS=1700  train-split size when generating the corpus
   RESUME=1      restore the newest best-val checkpoint before training
+  CAUSAL=1      train the causal configuration (cLN + causal depthwise
+                convs — models/tasnet.py); serving then uses the XLA path
+                (the Pallas trunks implement the gLN topology) and the run
+                additionally streams the test split hop-by-hop
+                (HOP=0.5 CTX=1.5 seconds) and reports the online-vs-offline
+                SI-SDRi gap (VERDICT r3 item 4 target: within ~1 dB)
 """
 
 import json
@@ -55,7 +61,11 @@ EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 PALLAS = len(sys.argv) > 3 and sys.argv[3] == "pallas"
 BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else (32 if PALLAS else 8)
 BAND = ROOT / "wav8k" / "min"
-OUT = pathlib.Path("/tmp/tasnet_corpus" + ("" if PROFILE == "easy" else f"_{PROFILE}"))
+OUT = pathlib.Path(
+    "/tmp/tasnet_corpus"
+    + ("" if PROFILE == "easy" else f"_{PROFILE}")
+    + (f"_{os.environ['OUT_TAG']}" if os.environ.get("OUT_TAG") else "")
+)
 
 
 def _alias_mix(split_dir: pathlib.Path) -> None:
@@ -102,7 +112,10 @@ def main():
 
     train_loader = make_loader("train-360", True)
 
-    model = ConvTasNet()
+    causal = bool(int(os.environ.get("CAUSAL", "0")))
+    if causal and PALLAS:
+        raise SystemExit("CAUSAL=1 trains via the XLA path; drop `pallas`")
+    model = ConvTasNet(causal=causal)
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, 16000)))["params"]
     lr = float(os.environ.get("LR", "1e-3"))
@@ -143,10 +156,14 @@ def main():
     logger.close()
     train_s = time.time() - t0
 
-    # held-out separation through the fused Pallas trunk (serving path)
+    # held-out separation through the fused Pallas trunk (serving path);
+    # the causal model serves via XLA (Pallas trunks implement gLN)
     sep_dir = OUT / "test_separated"
     sep_dir.mkdir(parents=True, exist_ok=True)
-    sep = jax.jit(lambda p, m: pallas_apply(p, m))
+    if causal:
+        sep = jax.jit(lambda p, m: model.apply({"params": p}, m))
+    else:
+        sep = jax.jit(lambda p, m: pallas_apply(p, m))
     t1 = time.time()
     # 2 s length quantum → 3 padded shapes over the 2-6 s corpus → 3 Pallas
     # remote compiles instead of 5 (each is ~1-4 min on the axon relay)
@@ -165,6 +182,46 @@ def main():
 
     si = eval_si_sdr(BAND, sep_dir, split="test")
     si_i = eval_si_sdri(BAND, sep_dir, split="test")
+
+    stream_stats = None
+    if causal:
+        # online eval: hop-by-hop streaming over the SAME held-out split;
+        # the causal config's whole point is closing the online/offline gap
+        from speech_separation_tpu.separate.streaming import stream_separate
+
+        hop = float(os.environ.get("HOP", "0.5"))
+        ctx = float(os.environ.get("CTX", "1.5"))
+        window = int(round((hop + ctx) * 8000))
+        stream_apply = jax.jit(lambda m: model.apply({"params": result.state.params}, m))
+        stream_dir = OUT / "test_streamed"
+        stream_dir.mkdir(parents=True, exist_ok=True)
+        t2 = time.time()
+        lat_all = []
+        sloader = WaveformLoader(BAND / "test", batch_size=1)
+        for b in sloader:
+            n = int(b.sample_lengths[0])
+            est, lat = stream_separate(
+                stream_apply, np.asarray(b.mix[0, :n]),
+                hop_seconds=hop, context_seconds=ctx,
+            )
+            lat_all.extend(lat[1:])
+            stem = pathlib.Path(b.names[0]).stem
+            for s in range(2):
+                audiowrite(est[s], stream_dir / f"{stem}_s{s + 1}.wav", 8000, True)
+        data.wait_for_pending_writes()
+        stream_si_i = eval_si_sdri(BAND, stream_dir, split="test")
+        stream_stats = {
+            "hop_s": hop,
+            "context_s": ctx,
+            "window_samples": window,
+            "streamed_si_sdri_db": round(stream_si_i, 3),
+            "offline_minus_streamed_db": round(si_i - stream_si_i, 3),
+            "median_hop_latency_ms": (
+                round(float(np.median(lat_all)) * 1e3, 2) if lat_all else None
+            ),
+            "stream_wall_s": round(time.time() - t2, 1),
+        }
+
     summary = {
         "corpus_profile": PROFILE,
         "epochs": EPOCHS,
@@ -180,6 +237,8 @@ def main():
         "serve_audio_s": round(audio_s, 1),
         "heldout_test_si_sdr_db": round(si, 3),
         "heldout_test_si_sdri_db": round(si_i, 3),
+        "causal": causal,
+        "streaming": stream_stats,
     }
     (OUT / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary), flush=True)

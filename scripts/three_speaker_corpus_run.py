@@ -59,6 +59,10 @@ def main():
         # transfer (bit-exact, RESULTS.md) and spike-bounding grad clipping
         "transfer_int16": bool(int(os.environ.get("INT16", "0"))),
         "grad_clip_norm": float(os.environ.get("CLIP", "0")),
+        # DM=1: dynamic mixing (re-paired sources + fresh gains per epoch) —
+        # the ~N^2-combination lever for the data-starved 3-speaker regime
+        "dynamic_mix": bool(int(os.environ.get("DM", "0"))),
+        "lr_schedule": os.environ.get("LR_SCHED", "default"),
     }))
     t0 = time.time()
     cli.main([

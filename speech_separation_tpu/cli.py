@@ -43,6 +43,7 @@ def _build_upit_model_from_cfg(cfg):
             hidden=cfg.tasnet_hidden,
             blocks=cfg.tasnet_blocks,
             repeats=cfg.tasnet_repeats,
+            causal=getattr(cfg, "tasnet_causal", False),
         )
     raise SystemExit(f"unknown separator variant {cfg.variant!r}")
 
@@ -138,16 +139,30 @@ def cmd_train(args) -> None:
         rng = jax.random.key(cfg.seed)
         model = _build_upit_model_from_cfg(cfg)
         params = model.init(rng, _example_input(cfg))["params"]
-        tx = (
-            train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
-            if cfg.variant == "tasnet"
-            else train.exponential_decay_adam(
+        if cfg.lr_schedule == "cosine":
+            # horizon from the split listing (estimate; packed loaders may
+            # differ by a few steps — the cosine tail is insensitive to that)
+            n_utts = len(
+                data.utterance_names(pathlib.Path(cfg.data_root) / cfg.train_split)
+            )
+            steps_per_epoch = max(1, n_utts // cfg.batch_size)
+            tx = train.cosine_adam(
                 cfg.learning_rate,
-                cfg.lr_decay_steps,
-                cfg.lr_decay_rate,
+                total_steps=cfg.epochs * steps_per_epoch,
+                warmup_steps=cfg.lr_warmup_steps,
                 grad_clip_norm=cfg.grad_clip_norm,
             )
-        )
+        else:
+            tx = (
+                train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
+                if cfg.variant == "tasnet"
+                else train.exponential_decay_adam(
+                    cfg.learning_rate,
+                    cfg.lr_decay_steps,
+                    cfg.lr_decay_rate,
+                    grad_clip_norm=cfg.grad_clip_norm,
+                )
+            )
         state = train.TrainState.create(model.apply, params, tx, rng)
 
         if cfg.mesh.model > 1 or cfg.mesh.data not in (None, 1):
@@ -211,6 +226,10 @@ def cmd_train(args) -> None:
             shuffle=shuffle,
             seed=cfg.seed,
             transfer_int16=cfg.transfer_int16,
+            # dynamic mixing augments the TRAIN stream only; length-sorting
+            # keeps the re-pairing windows length-homogeneous
+            dynamic_mix=cfg.dynamic_mix and shuffle,
+            sort_by_length=cfg.dynamic_mix,
         )
         if cfg.pack:
             # Sequence-packed training (data/packing.py): utterances packed

@@ -59,6 +59,9 @@ class UPitTrainConfig:
     learning_rate: float = 1e-3
     lr_decay_steps: int = 20
     lr_decay_rate: float = 0.96
+    lr_schedule: str = "default"  # "cosine": warmup+cosine over the whole run (corpus-scale convergence)
+    lr_warmup_steps: int = 500
+    dynamic_mix: bool = False  # re-pair sources across utterances + fresh gains every epoch (train loader only)
     grad_clip_norm: float = 0.0  # >0: optax global-norm gradient clipping (bounds transient loss spikes in long runs)
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)
     blstm_pallas_scan: bool = False  # blstm: fused Pallas fwd+bwd recurrence kernels (ops/lstm_train_pallas.py)
@@ -74,6 +77,7 @@ class UPitTrainConfig:
     tasnet_hidden: int = 256
     tasnet_blocks: int = 7
     tasnet_repeats: int = 3
+    tasnet_causal: bool = False  # cLN + causal depthwise convs (streaming-grade; XLA step path)
     checkpoint_dir: str = "./CKPT"
     seed: int = 42
     stft: StftConfig = field(default_factory=StftConfig)
