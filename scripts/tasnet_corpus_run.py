@@ -210,6 +210,29 @@ def main():
                 audiowrite(est[s], stream_dir / f"{stem}_s{s + 1}.wav", 8000, True)
         data.wait_for_pending_writes()
         stream_si_i = eval_si_sdri(BAND, stream_dir, split="test")
+
+        # exact stateful engine (separate/streaming_stateful.py): output ≡
+        # offline forward; measure its per-hop latency + score as proof
+        from speech_separation_tpu.separate.streaming_stateful import (
+            stateful_stream_separate,
+        )
+
+        hop_samples = max(16, int(round(hop * 8000)) // 8 * 8)
+        sf_dir = OUT / "test_streamed_stateful"
+        sf_dir.mkdir(parents=True, exist_ok=True)
+        sf_lat = []
+        for b in WaveformLoader(BAND / "test", batch_size=1):
+            n = int(b.sample_lengths[0])
+            est, lat = stateful_stream_separate(
+                model, result.state.params, np.asarray(b.mix[0, :n]), hop_samples
+            )
+            sf_lat.extend(lat[1:])
+            stem = pathlib.Path(b.names[0]).stem
+            for s in range(2):
+                audiowrite(est[s], sf_dir / f"{stem}_s{s + 1}.wav", 8000, True)
+        data.wait_for_pending_writes()
+        sf_si_i = eval_si_sdri(BAND, sf_dir, split="test")
+
         stream_stats = {
             "hop_s": hop,
             "context_s": ctx,
@@ -218,6 +241,10 @@ def main():
             "offline_minus_streamed_db": round(si_i - stream_si_i, 3),
             "median_hop_latency_ms": (
                 round(float(np.median(lat_all)) * 1e3, 2) if lat_all else None
+            ),
+            "stateful_streamed_si_sdri_db": round(sf_si_i, 3),
+            "stateful_median_hop_latency_ms": (
+                round(float(np.median(sf_lat)) * 1e3, 2) if sf_lat else None
             ),
             "stream_wall_s": round(time.time() - t2, 1),
         }

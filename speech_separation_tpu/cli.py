@@ -608,28 +608,52 @@ def _separate_time_domain(cfg, model, state, args) -> None:
         params = state.params
         separate = jax.jit(_base)
     if getattr(args, "streaming_hop_seconds", 0.0):
-        # online low-latency mode: hop-by-hop causal windows, one compiled
-        # shape, correlation-aligned permutations (separate/streaming.py)
+        # online low-latency mode. Causal checkpoints stream EXACTLY via
+        # carried state (O(hop)/hop, separate/streaming_stateful.py —
+        # output ≡ offline forward); gLN checkpoints fall back to sliding
+        # context windows with correlation-aligned permutations
+        # (separate/streaming.py, an approximation).
         import numpy as _np
 
-        from .separate.streaming import stream_separate
+        stateful = bool(getattr(cfg, "tasnet_causal", False))
+        if stateful:
+            from .separate.streaming_stateful import stateful_stream_separate
+
+            stream_model = _build_upit_model_from_cfg(cfg)
+        else:
+            from .separate.streaming import stream_separate
 
         if dp_mesh is not None:
             raise SystemExit("--streaming-hop-seconds is single-device")
+        stride = cfg.tasnet_win // 2
+        hop_samples = max(
+            cfg.tasnet_win,
+            int(round(args.streaming_hop_seconds * cfg.stft.sample_rate))
+            // stride
+            * stride,
+        )
         written = 0
         all_lat = []
         for b in loader:
             for i, name in enumerate(b.names):
                 stem = pathlib.Path(name).stem
                 n = int(b.sample_lengths[i])
-                est_u, lat = stream_separate(
-                    lambda m: separate(params, m),
-                    _np.asarray(b.mix[i, :n]),
-                    num_speakers=cfg.num_speakers,
-                    sample_rate=cfg.stft.sample_rate,
-                    hop_seconds=args.streaming_hop_seconds,
-                    context_seconds=args.streaming_context_seconds,
-                )
+                if stateful:
+                    est_u, lat = stateful_stream_separate(
+                        stream_model,
+                        state.params,
+                        _np.asarray(b.mix[i, :n]),
+                        hop_samples,
+                    )
+                else:
+                    est_u, lat = stream_separate(
+                        lambda m: separate(params, m),
+                        _np.asarray(b.mix[i, :n]),
+                        num_speakers=cfg.num_speakers,
+                        sample_rate=cfg.stft.sample_rate,
+                        hop_seconds=args.streaming_hop_seconds,
+                        context_seconds=args.streaming_context_seconds,
+                    )
                 all_lat.extend(lat[1:])
                 for s in range(cfg.num_speakers):
                     audiowrite(
@@ -647,6 +671,7 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                     "written": written,
                     "out_dir": str(out_dir),
                     "streaming_hop_s": args.streaming_hop_seconds,
+                    "streaming_engine": "stateful_exact" if stateful else "window",
                     # first hop per utterance is dropped as compile/warmup;
                     # single-hop utterances leave all_lat empty → null, not NaN
                     "median_hop_latency_ms": (

@@ -8,9 +8,11 @@ from .pipeline import (
     separated_length,
 )
 from .streaming import StreamingSeparator, stream_separate
+from .streaming_stateful import CausalStreamingSeparator, stateful_stream_separate
 from .tasnet_chunked import separate_chunked
 
 __all__ = [
+    "CausalStreamingSeparator",
     "StreamingSeparator",
     "make_long_separate_fn",
     "make_separate_fn",
@@ -20,5 +22,6 @@ __all__ = [
     "separate_from_records",
     "separate_long_directory",
     "separated_length",
+    "stateful_stream_separate",
     "stream_separate",
 ]

@@ -32,6 +32,7 @@ def test_prepare_data_cli(fixture_root, tmp_path, capsys):
     assert len(list((tmp_path / "tr_tfrecord").glob("*.tfrecords"))) == 4
 
 
+@pytest.mark.slow
 def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     import json as _json
 
@@ -128,6 +129,7 @@ def test_train_separate_evaluate_cli(fixture_root, tmp_path, capsys):
     assert {"name", "si_sdr", "si_sdri", "sdr", "sir", "sar"} <= set(per_utt[0])
 
 
+@pytest.mark.slow
 def test_train_packed_cli(fixture_root, tmp_path, capsys):
     """`pack: true` routes train through PackedWaveformLoader +
     make_upit_packed_steps; the checkpoint stays separate-compatible."""
@@ -192,6 +194,7 @@ def test_train_packed_cli(fixture_root, tmp_path, capsys):
         )
 
 
+@pytest.mark.slow
 def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):
     ckpt_dir = tmp_path / "vae_ckpt"
     cfg_path = tmp_path / "vae_cfg.json"
@@ -251,6 +254,7 @@ def test_vae_train_and_codec_cli(fixture_root, tmp_path, capsys):
     assert recon_path.exists()
 
 
+@pytest.mark.slow
 def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
     ckpt_dir = tmp_path / "tasnet_ckpt"
     cfg_path = tmp_path / "tasnet_cfg.json"
@@ -396,11 +400,24 @@ def test_tasnet_train_separate_cli(fixture_root, tmp_path, capsys):
         _sh.pad_batch_for_mesh = orig
 
 
-def test_gumbel_codec_encode_decode_cli(fixture_root, tmp_path, capsys):
-    """Full tokenizer chain at the CLI surface: wav → codes.npy → wav."""
+@pytest.mark.slow
+def test_gumbel_codec_encode_decode_cli(tmp_path, capsys):
+    """Full tokenizer chain at the CLI surface: wav → codes.npy → wav.
+
+    Uses a SHORT synthetic fixture (~1 s utterances): the sample-level
+    gumbel conv stack's XLA-CPU compile scales with T, and this test used
+    to burn 300+ s compiling on the 5 s reference fixture — the CLI chain
+    under test is length-independent."""
+    from speech_separation_tpu.data.fixture import make_synthetic_fixture
+
+    fixture_root = make_synthetic_fixture(
+        tmp_path / "fx", utterances_per_split=2, min_seconds=0.6, max_seconds=1.0
+    )
     ckpt = tmp_path / "gumbel_ckpt"
     cfg = tmp_path / "gumbel_cfg.json"
-    cfg.write_text(json.dumps({"latent_dim": 8, "patience": 3, "seed": 0}))
+    cfg.write_text(
+        json.dumps({"latent_dim": 8, "patience": 3, "seed": 0, "batch_size": 2})
+    )
     _run(
         capsys,
         [

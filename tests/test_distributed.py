@@ -43,6 +43,7 @@ def _run_workers(nproc: int, timeout: int = 300):
     return outs
 
 
+@pytest.mark.slow
 def test_two_process_step_matches_single_process():
     single = _run_workers(1)[0]
     assert single["devices"] == 4  # one process alone sees its 4 devices

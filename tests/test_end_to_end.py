@@ -42,6 +42,7 @@ def test_reference_artifacts_scored_by_our_evaluator(reference_root):
     np.testing.assert_allclose(sdr_sources, -1.7252, atol=0.05)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(fixture_root):
     loader = data.WaveformLoader(fixture_root / "tr", batch_size=2)
     batch = next(iter(loader))
@@ -64,6 +65,7 @@ def test_train_step_reduces_loss(fixture_root):
     assert last < first * 0.9
 
 
+@pytest.mark.slow
 def test_fit_separate_evaluate(fixture_root, tmp_path):
     model = UPitBlstm(**SMALL)
     rng = jax.random.key(0)

@@ -27,6 +27,7 @@ def _clean_env(**overrides):
     return env
 
 
+@pytest.mark.slow
 def test_ensure_virtual_cpu_mesh_never_inits_tpu_backend():
     """Simulate the outage: JAX_PLATFORMS points at a backend that does not
     exist (like axon with the relay down, minus the hang). If the helper
@@ -53,6 +54,7 @@ def test_ensure_virtual_cpu_mesh_never_inits_tpu_backend():
     assert "ok 4" in r.stdout
 
 
+@pytest.mark.slow
 def test_bench_emits_parseable_line_when_backend_unreachable():
     """bench.py must print one parseable JSON line (value 0.0, floor_ok
     false) when every backend probe fails, instead of hanging."""

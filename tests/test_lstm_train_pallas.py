@@ -32,6 +32,7 @@ def _snr_db(ref, est):
         (4, 50, 129, 24, 16), # production-ish feature width
     ],
 )
+@pytest.mark.slow
 def test_bilstm_train_grads_match_scan(b, t, f, h, tile_t):
     model = BiLSTM(h)
     x = jax.random.normal(jax.random.key(0), (b, t, f), jnp.float32) * 0.5
@@ -63,6 +64,7 @@ def test_bilstm_train_grads_match_scan(b, t, f, h, tile_t):
         assert _snr_db(a, b_) > 110.0, (name, _snr_db(a, b_))
 
 
+@pytest.mark.slow
 def test_upit_pallas_scan_step_matches_xla():
     """Full train-step integration: eval losses identical (no dropout), and
     a short deterministic-free training run stays on the same trajectory

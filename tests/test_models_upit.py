@@ -1,6 +1,7 @@
 """Model structure tests: shapes, parameter-count parity with the reference."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,7 @@ def test_bilstm_backward_direction_sees_future():
     assert not np.allclose(bwd_first, model.apply(params, jnp.zeros((1, 6, 2)))[0, 0, 4:])
 
 
+@pytest.mark.slow
 def test_upit_conv_param_count_matches_reference():
     # Reference `Raw_with_Convlayer.ipynb cell 15` records 1,099,289 params.
     model = UPitConv()
@@ -60,6 +62,7 @@ def test_upit_blstm_param_count_matches_keras_formula():
     assert n_params(params) == dense_in + bilstm1 + bilstm23 + heads
 
 
+@pytest.mark.slow
 def test_upit_blstm_output_shape_and_mask_semantics():
     model = UPitBlstm(input_size=9, output_size=9, hidden=8, num_layers=1)
     x = jnp.ones((2, 6, 9))
@@ -80,6 +83,7 @@ def test_upit_dropout_active_in_training_mode():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_bf16_train_step_tracks_fp32():
     """Mixed-precision train step (bf16 network compute, fp32 master weights)
     must keep fp32 parameters/optimizer state and track the fp32 loss."""

@@ -1,6 +1,7 @@
 """VQ layer semantics and VQ-VAE topology tests (param counts pinned)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,7 @@ class TestTopologies:
         params = model.init(jax.random.key(0), jnp.zeros((1, 8, 40)))
         assert n_params(params) == 193_000
 
+    @pytest.mark.slow
     def test_gumbel_vae_shapes_and_determinism(self):
         model = VqVaeGumbel(latent_dim=32)
         x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 1)), jnp.float32)
@@ -119,6 +121,7 @@ class TestTopologies:
         y2, _ = model.apply(params, x, deterministic=True)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
 
+    @pytest.mark.slow
     def test_codebook_v2_shapes(self):
         model = VqVaeCodebook()
         x = jnp.zeros((2, 12, 40))
@@ -142,6 +145,7 @@ class TestTopologies:
         assert codes.shape == (2, 2)  # K/8
         assert codes.dtype in (jnp.int32, jnp.int64)
 
+    @pytest.mark.slow
     def test_t3_training_reduces_loss(self):
         from speech_separation_tpu import train
 
@@ -168,6 +172,7 @@ class TestTopologies:
         assert last < first * 0.8
 
 
+@pytest.mark.slow
 def test_gumbel_vae_training_reduces_loss():
     from speech_separation_tpu import train
     from speech_separation_tpu.losses import summed_squared_error

@@ -88,6 +88,7 @@ def small_model():
     return model, params
 
 
+@pytest.mark.slow
 def test_packed_blstm_forward_isolates_segments(small_model):
     """The packed forward restricted to one segment equals running that
     segment alone — carry resets isolate utterances in BOTH directions."""
@@ -112,6 +113,7 @@ def test_packed_forward_no_segments_unchanged(small_model):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_packed_pallas_matches_flax(small_model):
     """Packed Pallas fwd+bwd kernels ≡ packed flax scan (fp32, interpret):
     forward outputs and parameter gradients."""
@@ -141,6 +143,7 @@ def test_packed_pallas_matches_flax(small_model):
     assert err < 1e-5, f"relative grad error {err}"
 
 
+@pytest.mark.slow
 def test_packed_loader_and_step_parity(tmp_path):
     """End to end: PackedWaveformLoader batches through the packed eval step
     equal the sum of per-utterance unpacked losses — identical STFT frames,
@@ -232,6 +235,7 @@ def test_packed_loader_plans_with_decoded_lengths(tmp_path):
         assert abs(header - 2 * planned) <= 1
 
 
+@pytest.mark.slow
 def test_resident_corpus_matches_loader_steps(tmp_path):
     """Device-resident packed training is EXACT: gathering rows from the
     HBM-resident arrays and running the packed loss equals feeding the same

@@ -39,6 +39,7 @@ def test_mesh_shapes():
 
 
 @pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(data, model):
     mdl = UPitBlstm(**SMALL)
     rng = jax.random.key(0)
@@ -117,13 +118,27 @@ def test_moment_sharding_maps_by_path_not_shape():
 
     assert sharded.params["a"]["kernel"].sharding.spec == P(None, "model")
     assert sharded.params["b"]["proj"].sharding.is_fully_replicated
-    mu = sharded.opt_state[0].mu
-    nu = sharded.opt_state[0].nu
-    for tree in (mu, nu):
+    import optax
+
+    def _find_adam(tree):
+        # nesting-agnostic: optimizers wrap in optax.chain (clip/identity
+        # heads keep the state structure CLIP-independent — train/optim.py)
+        if isinstance(tree, optax.ScaleByAdamState):
+            return tree
+        if isinstance(tree, (tuple, list)):
+            for sub in tree:
+                found = _find_adam(sub)
+                if found is not None:
+                    return found
+        return None
+
+    adam_state = _find_adam(sharded.opt_state)
+    assert adam_state is not None
+    for tree in (adam_state.mu, adam_state.nu):
         assert tree["a"]["kernel"].sharding.spec == P(None, "model")
         assert tree["b"]["proj"].sharding.is_fully_replicated
     # scalars (adam count) replicated
-    assert sharded.opt_state[0].count.sharding.is_fully_replicated
+    assert adam_state.count.sharding.is_fully_replicated
     # and the sharded state still trains: one step, placements preserved
     def loss_fn(p, x):
         return jnp.sum((x @ p["a"]["kernel"] + x @ p["b"]["proj"]) ** 2)
@@ -137,7 +152,8 @@ def test_moment_sharding_maps_by_path_not_shape():
 
     x = parallel.shard_batch((jnp.ones((8, 4)),), mesh)[0]
     new_state = step(sharded, x)
-    assert new_state.opt_state[0].mu["a"]["kernel"].sharding.spec == P(None, "model")
+    new_adam = _find_adam(new_state.opt_state)
+    assert new_adam.mu["a"]["kernel"].sharding.spec == P(None, "model")
 
 
 def test_tasnet_tp_sharded_step_matches_single_device():

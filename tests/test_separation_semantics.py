@@ -81,6 +81,7 @@ def test_separate_from_records_matches_waveform_path(reference_root, tmp_path):
         np.testing.assert_allclose(a[:n], b[:n], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_three_speaker_end_to_end(tmp_path):
     """Generality beyond the reference: 3-speaker PIT training + separation."""
     n_spk, sr, samples = 3, 8000, 16000

@@ -122,6 +122,7 @@ class TestLongSeparate:
         )
         np.testing.assert_allclose(out8, out1, atol=1e-5)
 
+    @pytest.mark.slow
     def test_separate_long_directory_writes_wavs(self, fixture_root, tmp_path):
         from speech_separation_tpu.models import UPitBlstm
         from speech_separation_tpu.separate import separate_long_directory

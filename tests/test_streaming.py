@@ -7,6 +7,7 @@ the full-utterance separation closely despite window-local gLN stats.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_streaming_realigns_swapped_windows():
     assert _snr_db(s2, out[1]) > 40.0
 
 
+@pytest.mark.slow
 def test_streaming_close_to_full_utterance():
     from speech_separation_tpu import train
     from speech_separation_tpu.models import ConvTasNet
@@ -95,6 +97,7 @@ def test_streaming_close_to_full_utterance():
     assert q_online > q_full - 3.0, (q_full, q_online)
 
 
+@pytest.mark.slow
 def test_streaming_causal_within_1db_of_offline():
     """The causal configuration (cLN + causal convs) is the streaming-grade
     model: hop-by-hop output must track the same model's offline output to

@@ -107,6 +107,7 @@ class TestFusedServingParity:
         assert est.shape == ref32.shape
         assert _snr_db(ref32, est) > 22.0
 
+    @pytest.mark.slow
     def test_default_config_shapes(self):
         """fused_apply defaults mirror ConvTasNet defaults (full-size tree)."""
         model = ConvTasNet()
@@ -119,6 +120,7 @@ class TestFusedServingParity:
 
 @pytest.mark.parametrize("win", [16, 32])
 @pytest.mark.parametrize("dtype", ["fp32", "bf16"])
+@pytest.mark.slow
 def test_forward_contract_matrix(win, dtype):
     """THE TasNet forward contract: all four implementations of the forward
     (flax module, fused_apply, Pallas serving trunk, Pallas training trunk)

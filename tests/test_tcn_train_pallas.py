@@ -50,6 +50,7 @@ def _make_arrays(key, n, cb, ch, taps, vdim):
 @pytest.mark.parametrize(
     "b,k,chunk", [(2, 130, 512), (1, 400, 128)], ids=["single-chunk", "multi-chunk"]
 )
+@pytest.mark.slow
 def test_trunk_train_primal_and_grads_match_reference(b, k, chunk):
     cb, ch, taps = 16, 32, 3
     blocks, repeats = 3, 2
@@ -127,6 +128,7 @@ def test_trunk_train_grads_exact_in_fp32(monkeypatch):
     assert _snr_db(g_ref[4][:, :7], g_pal[4][:, :7]) > 60.0
 
 
+@pytest.mark.slow
 def test_trunk_train_maps_to_param_pytree():
     """stack_canonical is differentiable: grads flow back to the ConvTasNet
     param dict, with alpha/bcat/pad lanes correctly reduced."""
@@ -166,6 +168,7 @@ def test_trunk_train_maps_to_param_pytree():
         assert err < 0.05 * denom, f"{name}: rel err {err/denom:.3e}"
 
 
+@pytest.mark.slow
 def test_pallas_trunk_train_step_matches_xla_bf16():
     """make_time_domain_steps(pallas_trunk=True): the full training step
     (encoder + Pallas trunk fwd/bwd + mask/decoder + PIT SI-SDR loss) tracks
@@ -204,6 +207,7 @@ def test_pallas_trunk_train_step_matches_xla_bf16():
     assert abs(p_last - x_last) < 2.0, (p_last, x_last)  # similar trajectory
 
 
+@pytest.mark.slow
 def test_pallas_trunk_dp_step_matches_single_device():
     """dp_mesh steps (shard_map over the data axis, Pallas kernels inside,
     pmean'd grads): loss and updated params match the single-device step."""

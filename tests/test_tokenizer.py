@@ -204,6 +204,7 @@ def test_encode_split_produces_valid_windows(fixture_root):
 
 
 class TestPrior:
+    @pytest.mark.slow
     def test_learns_pattern_and_samples_grammar(self):
         """A tiny prior memorises a repeating token pattern; sampling at low
         temperature reproduces it and always respects the stream grammar."""
@@ -250,6 +251,7 @@ class TestPrior:
         assert np.isfinite(wav).all()
 
 
+@pytest.mark.slow
 def test_prior_cli_workflow(fixture_root, tmp_path, capsys):
     """train t3tok codec → codec-encode/decode from codes alone →
     prior-train → prior-sample, all through the CLI."""
