@@ -222,3 +222,110 @@ def test_grad_clip_norm_optimizer():
     assert jax.tree_util.tree_structure(
         train.adam(1e-3, grad_clip_norm=0.0).init(params)
     ) == jax.tree_util.tree_structure(train.adam(1e-3).init(params))
+
+
+def test_clip_state_structure_independent_of_clip_value():
+    """advisor r3: resuming a checkpoint with a different CLIP value must
+    restore cleanly — opt_state structure is clip-independent."""
+    import jax.numpy as jnp
+
+    import jax
+    from speech_separation_tpu import train
+
+    params = {"w": jnp.ones((4,))}
+    assert jax.tree_util.tree_structure(
+        train.adam(1e-3, grad_clip_norm=5.0).init(params)
+    ) == jax.tree_util.tree_structure(train.adam(1e-3, grad_clip_norm=0.0).init(params))
+
+
+def test_cosine_adam_schedule_shape():
+    """warmup ramps from 0 to peak; decay ends at end_scale × peak."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+
+    tx = train.cosine_adam(1e-2, total_steps=100, warmup_steps=10, end_scale=0.1)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    # drive constant unit grads; |update| tracks the lr schedule under adam
+    mags = []
+    for _ in range(120):
+        upd, state = tx.update({"w": jnp.ones((4,))}, state, params)
+        mags.append(float(jnp.abs(upd["w"]).max()))
+    assert mags[0] < mags[9] <= 1.05 * 1e-2  # warmup ramps up
+    assert abs(mags[9] - 1e-2) < 2e-3  # near peak after warmup
+    assert abs(mags[-1] - 1e-3) < 3e-4  # cosine tail ≈ end_scale × peak
+
+
+def test_fit_resume_advances_loader_epoch(tmp_path):
+    """After a resume, fit must continue the shuffle stream, not replay
+    epoch 0 (advisor r3 on ResidentPackedCorpus._epoch)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+
+    class Loader:
+        def __init__(self):
+            self._epoch = 0
+            self.seen = []
+
+        def set_epoch(self, e):
+            self._epoch = int(e)
+
+        def __iter__(self):
+            self.seen.append(self._epoch)
+            self._epoch += 1
+            yield np.zeros((1,), np.float32)
+
+    model_apply = lambda v, x: x
+    params = {"w": jnp.zeros((1,))}
+    state = train.TrainState.create(model_apply, params, train.adam(1e-3), jax.random.key(0))
+    step = lambda s, x: (s, jnp.asarray(0.5))
+    eval_step = lambda s, x: jnp.asarray(0.5)
+    arrays = lambda b: (jnp.asarray(b),)
+
+    ckpt = train.CheckpointManager(tmp_path / "ck")
+    tr = Loader()
+    train.fit(state, step, eval_step, tr, Loader(), arrays, epochs=3, checkpoints=ckpt)
+    assert tr.seen == [0, 1, 2]
+    # resume: restored checkpoint is epoch 1 (first best); loader continues
+    tr2 = Loader()
+    train.fit(state, step, eval_step, tr2, Loader(), arrays, epochs=2,
+              checkpoints=ckpt, resume=True)
+    ckpt.close()
+    assert tr2.seen[0] >= 1  # NOT a replay of epoch 0
+    assert tr2.seen == sorted(tr2.seen)
+
+
+def test_bench_emit_includes_mfu_fields():
+    import contextlib
+    import io
+    import json
+
+    import bench
+
+    saved_emitted, saved_info = bench._EMITTED, dict(bench._FLOP_INFO)
+    bench._EMITTED = None
+    bench._FLOP_INFO.clear()
+    bench._FLOP_INFO["tasnet_train_bf16_audio_s_per_s"] = {
+        "flops_per_step": 1e12, "step_audio_s": 64,
+    }
+    try:
+        samples = {k: [] for k in bench.FLOORS}
+        samples["tasnet_train_bf16_audio_s_per_s"] = [2000.0]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench._emit(samples, None, None)
+    finally:
+        bench._EMITTED = saved_emitted
+        bench._FLOP_INFO.clear()
+        bench._FLOP_INFO.update(saved_info)
+    parsed = json.loads(buf.getvalue().strip())
+    # 1e12 flops/step × (2000/64 steps/s) = 31.25 TFLOP/s
+    assert parsed["extra"]["tasnet_train_bf16_audio_s_per_s_tflops"] == 31.2
+    assert parsed["extra"]["tasnet_train_bf16_audio_s_per_s_mfu_pct"] == 15.9  # 31.25/197
