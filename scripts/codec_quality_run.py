@@ -13,6 +13,7 @@ Usage: python scripts/codec_quality_run.py [STEPS] [VARIANT]
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -44,6 +45,12 @@ VARIANTS = {
 
 def main():
     model_cls, loader_kwargs, make_tx, ref_db = VARIANTS[VARIANT]
+    if os.environ.get("CODEC_LR"):
+        # recipe override: e.g. v2 at its notebook default LR diverges on
+        # our run too (the reference's own recorded v2 was unstable);
+        # CODEC_LR=1e-4 trains it stably
+        lr = float(os.environ["CODEC_LR"])
+        make_tx = lambda: train.adam(lr)
     loader = data.VaeLoader(FIXTURE / "tr", batch_size=4, **loader_kwargs)
     batch = next(iter(loader))
     x = jnp.asarray(batch.inputs)
