@@ -32,7 +32,7 @@ from speech_separation_tpu.models import VqVaeCodebook, VqVaeGumbel, VqVaeT2, Vq
 FIXTURE = pathlib.Path("/root/reference/mycode/wsj0_2mix/use_this")
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 VARIANT = sys.argv[2] if len(sys.argv) > 2 else "t3"
-EVAL_EVERY = 500
+EVAL_EVERY = int(os.environ.get("EVAL_EVERY", "500"))
 
 # variant → (model ctor, loader kwargs, optimizer, reference recorded dB)
 VARIANTS = {
