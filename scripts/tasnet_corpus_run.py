@@ -115,7 +115,15 @@ def main():
     causal = bool(int(os.environ.get("CAUSAL", "0")))
     if causal and PALLAS:
         raise SystemExit("CAUSAL=1 trains via the XLA path; drop `pallas`")
-    model = ConvTasNet(causal=causal)
+    # TINY=1: smoke mode — full code path (DM, cosine, int16, ckpt/resume,
+    # streaming eval) on a reduced model, for de-risking runs off-chip
+    tiny = bool(int(os.environ.get("TINY", "0")))
+    model = (
+        ConvTasNet(causal=causal, enc_dim=32, bottleneck=16, hidden=32,
+                   blocks=3, repeats=1)
+        if tiny
+        else ConvTasNet(causal=causal)
+    )
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, 16000)))["params"]
     lr = float(os.environ.get("LR", "1e-3"))
@@ -160,7 +168,7 @@ def main():
     # the causal model serves via XLA (Pallas trunks implement gLN)
     sep_dir = OUT / "test_separated"
     sep_dir.mkdir(parents=True, exist_ok=True)
-    if causal:
+    if causal or tiny:
         sep = jax.jit(lambda p, m: model.apply({"params": p}, m))
     else:
         sep = jax.jit(lambda p, m: pallas_apply(p, m))
