@@ -128,9 +128,15 @@ def main():
     params = model.init(rng, jnp.zeros((1, 16000)))["params"]
     lr = float(os.environ.get("LR", "1e-3"))
     if os.environ.get("LR_SCHED", "") == "cosine":
+        # SCHED_EPOCHS: cosine horizon for CHUNKED runs. `fit(resume=1)`
+        # trains EPOCHS *more* epochs per invocation while the restored
+        # optimizer step keeps counting globally, so a queue that runs
+        # 40+40+40 epochs must pin the schedule to the 120-epoch horizon
+        # once or later chunks would sit at the end_value floor.
+        sched_epochs = int(os.environ.get("SCHED_EPOCHS", str(EPOCHS)))
         tx = train.cosine_adam(
             peak_learning_rate=lr,
-            total_steps=EPOCHS * len(train_loader),
+            total_steps=sched_epochs * len(train_loader),
             warmup_steps=int(os.environ.get("WARMUP", "500")),
             grad_clip_norm=clip,
         )
@@ -160,6 +166,7 @@ def main():
         checkpoints=ckpt,
         resume=bool(int(os.environ.get("RESUME", "1"))),
     )
+    ckpt_epoch = int(ckpt.latest_step or 0)  # cumulative across chunked runs
     ckpt.close()
     logger.close()
     train_s = time.time() - t0
@@ -260,6 +267,7 @@ def main():
     summary = {
         "corpus_profile": PROFILE,
         "epochs": EPOCHS,
+        "ckpt_epoch": ckpt_epoch,
         "batch": BATCH,
         "pallas_trunk": PALLAS,
         "train_utterances": TR_UTTS,
