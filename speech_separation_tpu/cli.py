@@ -438,7 +438,7 @@ def _restore_upit(checkpoint_dir: str):
     )
     state = train.TrainState.create(model.apply, params, tx, rng)
     ckpt = train.CheckpointManager(checkpoint_dir)
-    state = ckpt.restore(state)
+    state = ckpt.restore_params(state)
     ckpt.close()
     return cfg, model, state
 
@@ -886,7 +886,7 @@ def _restore_vae(checkpoint_dir: str):
     )
     state = train.TrainState.create(model.apply, params, tx, rng)
     ckpt = train.CheckpointManager(checkpoint_dir)
-    state = ckpt.restore(state)
+    state = ckpt.restore_params(state)
     ckpt.close()
     return cfg, model, state
 
@@ -1076,7 +1076,7 @@ def cmd_prior_sample(args) -> None:
     params = model.init(rng, jnp.zeros((1, 8 * layout.group), jnp.int32))["params"]
     state = train.TrainState.create(model.apply, params, train.adam(cfg.learning_rate), rng)
     ckpt = train.CheckpointManager(args.prior_dir)
-    state = ckpt.restore(state)
+    state = ckpt.restore_params(state)
     ckpt.close()
 
     # one group = one deep step = 8 waveform frames = 320 samples

@@ -63,5 +63,28 @@ class CheckpointManager:
         assert len(leaves) == len(new_leaves)
         return jax.tree.unflatten(treedef, new_leaves)
 
+    def restore_params(self, state: Any, step: int | None = None) -> Any:
+        """Restore only the model parameters into ``state`` (serving paths).
+
+        Template-free for everything but ``params``, so optimizer-state
+        structure drift across versions (e.g. round 3 made the clip wrapper
+        an unconditional ``optax.chain``, changing the ``opt_state`` pytree)
+        can never break inference on a checkpoint written before the change.
+        ``step`` stays at the template's value — serving never reads it."""
+        if step is None:
+            step = self._manager.best_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self._dir}")
+        # a scoped reader: orbax binds one handler type per manager+item, and
+        # self._manager may already be bound to StandardRestore
+        with ocp.CheckpointManager(self._dir) as reader:
+            restored = reader.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item={"params": state.params}, partial_restore=True
+                ),
+            )
+        return state.replace(params=restored["params"])
+
     def close(self) -> None:
         self._manager.close()

@@ -238,6 +238,35 @@ def test_clip_state_structure_independent_of_clip_value():
     ) == jax.tree_util.tree_structure(train.adam(1e-3, grad_clip_norm=0.0).init(params))
 
 
+def test_restore_params_survives_opt_state_structure_drift(tmp_path):
+    """Serving restores only params: a checkpoint saved under one optimizer
+    structure (e.g. pre-round-3 unchained adam) must load into a state built
+    with a different one (round-3 chained clip wrapper)."""
+    import optax
+
+    from speech_separation_tpu import train
+
+    apply = lambda v, x: x
+    params = {"w": jnp.full((4,), 7.0)}
+    # legacy writer: bare adam, NO chain wrapper
+    legacy = train.TrainState.create(apply, params, optax.adam(1e-3), jax.random.key(0))
+    ckpt = train.CheckpointManager(tmp_path / "ck")
+    ckpt.save_if_best(1, legacy, val_loss=1.0)
+    ckpt.close()
+
+    # current reader: chained optimizer → different opt_state pytree
+    fresh = train.TrainState.create(
+        apply, {"w": jnp.zeros((4,))}, train.adam(1e-3, grad_clip_norm=5.0),
+        jax.random.key(1),
+    )
+    ckpt2 = train.CheckpointManager(tmp_path / "ck")
+    with pytest.raises(ValueError):
+        ckpt2.restore(fresh)  # full-state template restore rightly rejects
+    restored = ckpt2.restore_params(fresh)
+    ckpt2.close()
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), 7.0)
+
+
 def test_cosine_adam_schedule_shape():
     """warmup ramps from 0 to peak; decay ends at end_scale × peak."""
     import numpy as np
