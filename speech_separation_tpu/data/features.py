@@ -68,12 +68,23 @@ def _stft_np(x: np.ndarray, size: int, shift: int) -> np.ndarray:
 
 
 def utterance_names(split_dir: pathlib.Path, mix_dirname: str = "mix") -> list[str]:
-    """Wav names in a split (from ``lists/*.lst`` if present, else listdir)."""
+    """Wav names in a split (from ``lists/*.lst`` if present, else listdir).
+
+    When the default ``mix`` directory is absent the LibriMix condition
+    names are tried (``mix_clean``/``mix_both``/``mix_single``) — generated
+    trees carry only the condition dir, and a missing alias used to make
+    loaders silently yield zero batches (an empty "epoch" training nothing)."""
     split_dir = pathlib.Path(split_dir)
     lst = split_dir.parent / "lists" / f"{split_dir.name}_wav.lst"
     if lst.exists():
         return [line.strip() for line in lst.read_text().splitlines() if line.strip()]
-    return sorted(p.name for p in (split_dir / mix_dirname).glob("*.wav"))
+    candidates = [mix_dirname]
+    if mix_dirname == "mix":
+        candidates += ["mix_clean", "mix_both", "mix_single"]
+    for name in candidates:
+        if (split_dir / name).is_dir():
+            return sorted(p.name for p in (split_dir / name).glob("*.wav"))
+    return []
 
 
 def max_length(

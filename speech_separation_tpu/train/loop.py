@@ -114,6 +114,14 @@ def fit(
                 f"stopping and restoring best state (epoch {result.best_epoch})"
             )
             break
+        if not train_losses:
+            # a silent no-op "epoch" (misconfigured split dir, empty list
+            # file) would otherwise log loss=nan and checkpoint an untrained
+            # model as "best" — fail loudly instead (failure-detection, §5)
+            raise ValueError(
+                f"train loader yielded no batches in epoch {epoch}; "
+                f"check the split directory / utterance lists"
+            )
         val_losses = []
         for batch in prefetch_to_device(iter(val_loader), prefetch):
             out = eval_step(state, *batch_arrays(batch))

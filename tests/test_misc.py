@@ -112,6 +112,39 @@ def test_fit_aborts_mid_epoch_on_nan():
     assert len(steps_run) == 5  # aborted at the first periodic check
 
 
+def test_fit_raises_on_empty_train_loader():
+    """A misconfigured split dir must not silently log a nan 'epoch' and
+    checkpoint an untrained model as best (failure-detection, SURVEY §5)."""
+    from speech_separation_tpu import train
+
+    state = train.TrainState.create(
+        lambda v, x: x, {"w": jnp.zeros((1,))}, train.adam(1e-3), jax.random.key(0)
+    )
+    step = lambda s, x: (s, jnp.asarray(0.5))
+    with pytest.raises(ValueError, match="no batches"):
+        train.fit(state, step, lambda s, x: jnp.asarray(0.5), [], [],
+                  lambda b: (jnp.asarray(b),), epochs=1)
+
+
+def test_utterance_names_librimix_condition_fallback(tmp_path):
+    """Generated LibriMix trees carry only condition dirs (mix_clean); the
+    default 'mix' lookup falls back to them instead of yielding zero names."""
+    from speech_separation_tpu.data.features import utterance_names
+
+    split = tmp_path / "train-100"
+    (split / "mix_clean").mkdir(parents=True)
+    (split / "s1").mkdir()
+    for n in ("b.wav", "a.wav"):
+        (split / "mix_clean" / n).write_bytes(b"")
+    assert utterance_names(split) == ["a.wav", "b.wav"]
+    # explicit alias still wins when present
+    (split / "mix").mkdir()
+    (split / "mix" / "c.wav").write_bytes(b"")
+    assert utterance_names(split) == ["c.wav"]
+    # explicit non-default dirname does NOT fall back
+    assert utterance_names(split, mix_dirname="mix_both") == []
+
+
 def test_fit_streams_metrics_jsonl(tmp_path):
     """fit(metrics=...) writes per-step losses and per-epoch summaries the
     plots module can render (VERDICT weak #3)."""
