@@ -1,0 +1,20 @@
+#!/bin/bash
+# Poll the axon TPU relay; the moment it answers, run the chip queue.
+# Detach with setsid so it survives the driving session:
+#   setsid nohup bash scripts/r4_tpu_watch.sh >/dev/null 2>&1 &
+# The probe runs in a subprocess under timeout because jax.devices() on
+# the axon backend blocks forever while the relay is down.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r4_queue.log
+echo "[watch] $(date -u +%H:%M:%S) watcher start (pid $$)" >>"$LOG"
+while true; do
+  if timeout 150 python -c "import jax; d = jax.devices(); raise SystemExit(0 if d[0].platform == 'tpu' else 1)" >/dev/null 2>&1; then
+    echo "[watch] $(date -u +%H:%M:%S) TPU UP — launching chip queue" >>"$LOG"
+    bash scripts/r4_chip_queue.sh ${R4_STAGES:-}
+    echo "[watch] $(date -u +%H:%M:%S) chip queue finished" >>"$LOG"
+    break
+  fi
+  echo "[watch] $(date -u +%H:%M:%S) down" >>"$LOG"
+  sleep 280
+done

@@ -63,12 +63,17 @@ def main():
         # the ~N^2-combination lever for the data-starved 3-speaker regime
         "dynamic_mix": bool(int(os.environ.get("DM", "0"))),
         "lr_schedule": os.environ.get("LR_SCHED", "default"),
+        # SCHED_EPOCHS pins the cosine horizon for chunked RESUME=1 queues
+        # (fit trains EPOCHS *more* per invocation; the restored optimizer
+        # step keeps counting globally — see scripts/tasnet_corpus_run.py)
+        "sched_epochs": int(os.environ.get("SCHED_EPOCHS", "0")),
     }))
     t0 = time.time()
     cli.main([
         "train", "--config", str(cfg_path), "--workload", "upit",
         "--variant", "tasnet", "--data-root", str(fixture),
         "--epochs", str(EPOCHS), "--checkpoint-dir", str(ckpt),
+        *(["--resume"] if int(os.environ.get("RESUME", "0")) else []),
     ])
     train_s = time.time() - t0
 

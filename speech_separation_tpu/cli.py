@@ -146,9 +146,10 @@ def cmd_train(args) -> None:
                 data.utterance_names(pathlib.Path(cfg.data_root) / cfg.train_split)
             )
             steps_per_epoch = max(1, n_utts // cfg.batch_size)
+            horizon_epochs = cfg.sched_epochs or cfg.epochs
             tx = train.cosine_adam(
                 cfg.learning_rate,
-                total_steps=cfg.epochs * steps_per_epoch,
+                total_steps=horizon_epochs * steps_per_epoch,
                 warmup_steps=cfg.lr_warmup_steps,
                 grad_clip_norm=cfg.grad_clip_norm,
             )

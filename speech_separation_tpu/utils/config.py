@@ -61,6 +61,7 @@ class UPitTrainConfig:
     lr_decay_rate: float = 0.96
     lr_schedule: str = "default"  # "cosine": warmup+cosine over the whole run (corpus-scale convergence)
     lr_warmup_steps: int = 500
+    sched_epochs: int = 0  # cosine horizon for chunked runs (0 → epochs); resumed chunks keep the global step counter, so pin the full-run horizon here
     dynamic_mix: bool = False  # re-pair sources across utterances + fresh gains every epoch (train loader only)
     grad_clip_norm: float = 0.0  # >0: optax global-norm gradient clipping (bounds transient loss spikes in long runs)
     bf16_compute: bool = False  # mixed-precision train step (blstm/tasnet)

@@ -321,6 +321,19 @@ def test_cosine_adam_schedule_shape():
     assert abs(mags[-1] - 1e-3) < 3e-4  # cosine tail ≈ end_scale × peak
 
 
+def test_sched_epochs_pins_cosine_horizon():
+    """`sched_epochs` decouples the cosine horizon from the per-invocation
+    epoch count so chunked RESUME=1 queues (scripts/r4_chip_queue.sh) keep
+    decaying across chunks instead of sitting at the end_value floor."""
+    from speech_separation_tpu.utils.config import UPitTrainConfig
+
+    cfg = UPitTrainConfig(lr_schedule="cosine", epochs=20, sched_epochs=80)
+    assert (cfg.sched_epochs or cfg.epochs) == 80
+    # default (0) falls back to the invocation's epoch count
+    cfg = UPitTrainConfig(lr_schedule="cosine", epochs=20)
+    assert (cfg.sched_epochs or cfg.epochs) == 20
+
+
 def test_fit_resume_advances_loader_epoch(tmp_path):
     """After a resume, fit must continue the shuffle stream, not replay
     epoch 0 (advisor r3 on ResidentPackedCorpus._epoch)."""
