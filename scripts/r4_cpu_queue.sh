@@ -49,5 +49,23 @@ for s in $STAGES; do case $s in
     run codec_gumbel_cpu env EVAL_EVERY=250 timeout 21600 \
       python scripts/codec_quality_run.py 1500 gumbel
     ;;
+  causal_tiny)
+    # VERDICT item 4 CPU fallback: a TRAINED causal model (TINY config,
+    # 1,700-utt hard corpus) scored offline vs both streaming engines.
+    # The chip queue's full-size `causal` stage supersedes this.
+    run causal_tiny timeout 14400 env PROFILE=hard TINY=1 CAUSAL=1 DM=1 \
+      CLIP=5 LR_SCHED=cosine WARMUP=200 RESUME=0 OUT_TAG=causaltiny_cpu \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 30 xla 16
+    ;;
+  dm_ab)
+    # VERDICT item 2 support: dynamic mixing on/off A/B at equal budget
+    # (TINY config, 400-utt hard corpus) — isolates the augmentation lever.
+    run dm_on timeout 7200 env PROFILE=hard TINY=1 DM=1 CLIP=5 TR_UTTS=400 \
+      LR_SCHED=cosine WARMUP=200 RESUME=0 OUT_TAG=dmab_on \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard400 25 xla 16
+    run dm_off timeout 7200 env PROFILE=hard TINY=1 DM=0 CLIP=5 TR_UTTS=400 \
+      LR_SCHED=cosine WARMUP=200 RESUME=0 OUT_TAG=dmab_off \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard400 25 xla 16
+    ;;
 esac; done
 echo "cpu queue done" | tee -a "$LOG"

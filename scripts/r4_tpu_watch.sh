@@ -7,8 +7,16 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r4_queue.log
-echo "[watch] $(date -u +%H:%M:%S) watcher start (pid $$)" >>"$LOG"
+# Hard stop for chip work: the round driver needs the relay to itself for
+# its end-of-round bench.py. Default horizon: 11 h from watcher start;
+# override with R4_DEADLINE (epoch seconds).
+export R4_DEADLINE=${R4_DEADLINE:-$(( $(date +%s) + 11 * 3600 ))}
+echo "[watch] $(date -u +%H:%M:%S) watcher start (pid $$, $(( R4_DEADLINE - $(date +%s) ))s to deadline)" >>"$LOG"
 while true; do
+  if [ $(( R4_DEADLINE - $(date +%s) )) -le 1800 ]; then
+    echo "[watch] $(date -u +%H:%M:%S) deadline reached, TPU never answered" >>"$LOG"
+    exit 0
+  fi
   if timeout 150 python -c "import jax; d = jax.devices(); raise SystemExit(0 if d[0].platform == 'tpu' else 1)" >/dev/null 2>&1; then
     echo "[watch] $(date -u +%H:%M:%S) TPU UP — launching chip queue" >>"$LOG"
     bash scripts/r4_chip_queue.sh ${R4_STAGES:-}
