@@ -71,6 +71,10 @@ def main():
             dt = (time.perf_counter() - t0) / ITERS
             results[name].append(dt)
 
+    from speech_separation_tpu.utils import train_step_mfu
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    frames = int(stft_frame_count(samples, 256, 128))
     out = {"batch": B, "seconds": SECS, "iters": ITERS, "trials": TRIALS}
     for name, times in results.items():
         med = float(np.median(times))
@@ -78,6 +82,7 @@ def main():
             "step_ms": round(med * 1e3, 2),
             "audio_s_per_s": round(B * SECS / med, 1),
             "band_ms": [round(min(times) * 1e3, 2), round(max(times) * 1e3, 2)],
+            **train_step_mfu(n_params, B, frames, med),
         }
     out["speedup"] = round(
         out["xla_bf16"]["step_ms"] / out["pallas_bf16"]["step_ms"], 3

@@ -48,4 +48,8 @@ for trial in range(3):
         ll = float(loss)
         dt = time.perf_counter() - t0
         states[name] = st
-        print(f"trial {trial} {name:12s}: {dt/iters*1e3:7.1f} ms/step  {batch*seconds*iters/dt:8.1f} audio-s/s  loss={ll:.4f}", flush=True)
+        from speech_separation_tpu.utils import train_step_mfu
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params_host))
+        mfu = train_step_mfu(n_params, batch, samples // (model.win // 2), dt / iters)
+        print(f"trial {trial} {name:12s}: {dt/iters*1e3:7.1f} ms/step  {batch*seconds*iters/dt:8.1f} audio-s/s  "
+              f"{mfu['tflops']:.1f} TFLOP/s ({mfu['mfu_pct']:.1f}% MFU)  loss={ll:.4f}", flush=True)

@@ -35,4 +35,8 @@ for name, dt in [("fp32", None), ("bf16", jnp.bfloat16)]:
         state, loss = ts(state, mix, sources, lengths)
     ll = float(loss)  # host fetch forces the chain
     dt_s = time.perf_counter() - t0
-    print(f"{name}: {dt_s/iters*1e3:7.1f} ms/step  {batch*seconds*iters/dt_s:8.1f} audio-s/s  loss={ll:.3f}", flush=True)
+    from speech_separation_tpu.utils import train_step_mfu
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params_host))
+    mfu = train_step_mfu(n_params, batch, samples // (model.win // 2), dt_s / iters)
+    print(f"{name}: {dt_s/iters*1e3:7.1f} ms/step  {batch*seconds*iters/dt_s:8.1f} audio-s/s  "
+          f"{mfu['tflops']:.1f} TFLOP/s ({mfu['mfu_pct']:.1f}% MFU)  loss={ll:.3f}", flush=True)

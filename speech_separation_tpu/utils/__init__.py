@@ -10,7 +10,13 @@ from .config import (
     load_config,
     save_config,
 )
-from .profiling import MetricsLogger, StepTimer, device_memory_stats, trace
+from .profiling import (
+    MetricsLogger,
+    StepTimer,
+    device_memory_stats,
+    trace,
+    train_step_mfu,
+)
 
 __all__ = [
     "EvaluateConfig",

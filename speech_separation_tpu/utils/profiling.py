@@ -92,6 +92,32 @@ class MetricsLogger:
             self._handle.close()
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
+
+
+def train_step_mfu(
+    n_params: int,
+    items_per_step: int,
+    frames_per_item: int,
+    step_seconds: float,
+) -> dict[str, float]:
+    """Analytic effective TFLOP/s + MFU for one optimizer step.
+
+    Uses the framewise-dense model fwd ≈ 2·P FLOPs per frame, fwd+bwd ≈
+    3×fwd (the Pallas recurrence/trunk custom calls are opaque to XLA's
+    cost analysis, so an analytic model is the only consistent yardstick
+    across variants — same convention as ``bench.py``). ``frames_per_item``
+    is the per-utterance frame count at the model's native rate: STFT
+    frames for the BLSTM, ``samples / (win // 2)`` encoder frames for
+    Conv-TasNet. VERDICT r3 item 7: report MFU on every training bench.
+    """
+    tflops = 6.0 * n_params * frames_per_item * items_per_step / step_seconds / 1e12
+    return {
+        "tflops": round(tflops, 1),
+        "mfu_pct": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1),
+    }
+
+
 def device_memory_stats() -> dict[str, int]:
     """Per-device memory stats where the backend exposes them."""
     stats = {}

@@ -377,6 +377,17 @@ def test_fit_resume_advances_loader_epoch(tmp_path):
     assert tr2.seen == sorted(tr2.seen)
 
 
+def test_train_step_mfu_matches_bench_convention():
+    """The shared helper (utils/profiling.py) must agree with bench.py's
+    analytic model: 6·P·frames·items / dt, MFU against the v5e bf16 peak."""
+    from speech_separation_tpu.utils import train_step_mfu
+
+    out = train_step_mfu(n_params=10**7, items_per_step=32, frames_per_item=500, step_seconds=0.05)
+    # 6e7 × 500 × 32 / 0.05 = 19.2 TFLOP/s
+    assert out["tflops"] == 19.2
+    assert out["mfu_pct"] == round(100 * 19.2 / 197.0, 1)
+
+
 def test_bench_emit_includes_mfu_fields():
     import contextlib
     import io
