@@ -19,6 +19,17 @@ while true; do
   fi
   if timeout 150 python -c "import jax; d = jax.devices(); raise SystemExit(0 if d[0].platform == 'tpu' else 1)" >/dev/null 2>&1; then
     echo "[watch] $(date -u +%H:%M:%S) TPU UP — launching chip queue" >>"$LOG"
+    # The chip queue supersedes the CPU fallback queue AND would otherwise
+    # race it on the shared /tmp/t3tok_hard_ckpt orbax dir — stop the CPU
+    # queue's process group first (recorded setsid leaders, never patterns).
+    for pf in /tmp/r4_cpu_queue.pid /tmp/r4_cpu_chain.pid; do
+      if [ -f "$pf" ]; then
+        pg=$(cat "$pf")
+        kill -TERM -- "-$pg" 2>/dev/null && \
+          echo "[watch] stopped cpu queue group $pg ($pf)" >>"$LOG"
+      fi
+    done
+    sleep 5
     bash scripts/r4_chip_queue.sh ${R4_STAGES:-}
     echo "[watch] $(date -u +%H:%M:%S) chip queue finished" >>"$LOG"
     break
