@@ -23,6 +23,7 @@ context) and the Conv-TasNet serving/training numbers (best-quality model).
 
 import json
 import statistics
+import threading
 import time
 
 import numpy as np
@@ -148,7 +149,9 @@ def bench_tasnet(batch=64, seconds=8, iters=5, win=16, kernel="standard"):
     return measure
 
 
-V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
+# single source of truth for the peak + MFU convention (shared with every
+# training bench via utils/profiling.train_step_mfu)
+from speech_separation_tpu.utils.profiling import V5E_BF16_PEAK_TFLOPS  # noqa: E402
 
 
 def _step_flops(step, *args) -> float | None:
@@ -252,6 +255,7 @@ def bench_blstm_train(batch=32, seconds=8, iters=8, pallas=True):
 
 
 _EMITTED = None  # threading.Event set in main(); guards double emission
+_EMIT_LOCK = threading.Lock()  # is_set()+set() alone is check-then-act, not atomic
 _FLOP_INFO: dict = {}  # variant -> {flops_per_step, step_audio_s} for MFU lines
 
 
@@ -265,9 +269,13 @@ def _emit(samples: dict, note: str | None, exit_code: int | None) -> None:
     import os
 
     if _EMITTED is not None:
-        if _EMITTED.is_set():
-            return
-        _EMITTED.set()
+        with _EMIT_LOCK:
+            # atomic test-and-set: the stall watchdog, the device watchdog
+            # and the main thread can all reach _emit in the same window —
+            # exactly one may print the JSON line the driver parses
+            if _EMITTED.is_set():
+                return
+            _EMITTED.set()
     med = {k: statistics.median(v) for k, v in samples.items() if v}
     bands = {k: [round(min(v), 2), round(max(v), 2)] for k, v in samples.items() if v}
     # effective TFLOP/s + MFU for the training variants (VERDICT r3 item 7):

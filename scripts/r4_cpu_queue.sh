@@ -12,9 +12,15 @@
 # (3) sample audio from the prior, (4) gumbel codec fallback at reduced
 # steps (reference bar is only ~3.55 dB; the chip queue supersedes this
 # with the full 4,000-step protocol if the relay returns).
+# Launch detached: setsid nohup bash scripts/r4_cpu_queue.sh >/dev/null 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r4_cpu_queue.log
+# self-register the process group so the TPU watcher can preempt this queue
+# (under setsid, $$ is the group leader; kill -TERM -<pgid> stops the stage
+# python too). Without this pid file the watcher's kill silently no-ops and
+# the chip queue would race this queue on the shared orbax checkpoint dirs.
+ps -o pgid= -p $$ | tr -d ' ' > /tmp/r4_cpu_queue.pid
 CPU="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu"
 run() {
   local name="$1"; shift

@@ -10,6 +10,7 @@ LOG=/tmp/r4_queue.log
 # Hard stop for chip work: the round driver needs the relay to itself for
 # its end-of-round bench.py. Default horizon: 11 h from watcher start;
 # override with R4_DEADLINE (epoch seconds).
+ps -o pgid= -p $$ | tr -d ' ' > /tmp/r4_watch.pid
 export R4_DEADLINE=${R4_DEADLINE:-$(( $(date +%s) + 11 * 3600 ))}
 echo "[watch] $(date -u +%H:%M:%S) watcher start (pid $$, $(( R4_DEADLINE - $(date +%s) ))s to deadline)" >>"$LOG"
 while true; do

@@ -36,7 +36,7 @@ import jax
 
 from ..ops.stft import stft_frame_count
 from .audio_io import audioread, quantize_i16, read_normalized
-from .features import utterance_names
+from .features import resolve_mix_dirname, utterance_names
 from .tfrecord import parse_sequence_example, read_tfrecord_file
 
 __all__ = [
@@ -83,12 +83,13 @@ def load_utterance_batch(split_dir, names, num_speakers: int, sample_rate: int):
     """Decode ``(mix, [s1..sN])`` for every name, using the native C++
     thread-pool decoder when available and no resampling is needed."""
     split_dir = pathlib.Path(split_dir)
+    mixdir = resolve_mix_dirname(split_dir)
     try:
         from .. import native
     except ImportError:
         native = None
     if native is not None and native.available():
-        paths = [split_dir / "mix" / n for n in names]
+        paths = [split_dir / mixdir / n for n in names]
         for i in range(num_speakers):
             paths += [split_dir / f"s{i + 1}" / n for n in names]
         decoded = native.wav_read_batch(paths)
@@ -102,7 +103,7 @@ def load_utterance_batch(split_dir, names, num_speakers: int, sample_rate: int):
             return list(zip(mixes, sources))
     out = []
     for n in names:
-        mix = audioread(split_dir / "mix" / n, sample_rate)
+        mix = audioread(split_dir / mixdir / n, sample_rate)
         srcs = [
             audioread(split_dir / f"s{i + 1}" / n, sample_rate)
             for i in range(num_speakers)
@@ -136,7 +137,7 @@ def load_utterance_batch_i16(split_dir, names, num_speakers: int, sample_rate: i
     absent) decode float and quantize (``audio_io.quantize_i16``) — the same
     values either way, since quantize∘decode is the identity on 16-bit PCM."""
     split_dir = pathlib.Path(split_dir)
-    paths = [split_dir / "mix" / n for n in names]
+    paths = [split_dir / resolve_mix_dirname(split_dir) / n for n in names]
     for i in range(num_speakers):
         paths += [split_dir / f"s{i + 1}" / n for n in names]
     try:
@@ -208,8 +209,9 @@ class WaveformLoader:
             # reference's pad-to-split-max, fewer distinct bucket shapes
             from .audio_io import wav_duration_samples
 
+            mixdir = resolve_mix_dirname(self.split_dir)
             durations = [
-                wav_duration_samples(self.split_dir / "mix" / n)[0] for n in self.names
+                wav_duration_samples(self.split_dir / mixdir / n)[0] for n in self.names
             ]
             self.names = [n for _, n in sorted(zip(durations, self.names))]
         self._epoch = 0
@@ -331,11 +333,12 @@ class WaveformLoader:
                 else:
                     sources[i, s, :ln] = cut
         if self.transfer_int16:
-            # mix as the int32 sum of the quantized sources so the device-side
-            # dequantized mix equals the dequantized sources' sum exactly
-            mix = np.clip(
-                sources.astype(np.int32).sum(axis=1), -32768, 32767
-            ).astype(np.int16)
+            # mix ships as the UNCLIPPED int32 sum of the quantized sources
+            # (±2.5 dB gains can push two near-full-scale sources past
+            # ±32767; clipping here would break mix ≡ Σ sources on device
+            # and diverge from the float DM path). ops/quant.dequant_i16
+            # applies the same 1/32768 scale to int16 and int32 lanes.
+            mix = sources.astype(np.int32).sum(axis=1, dtype=np.int32)
         else:
             mix = sources.sum(axis=1)
         frame_lengths = np.asarray(

@@ -87,6 +87,24 @@ def utterance_names(split_dir: pathlib.Path, mix_dirname: str = "mix") -> list[s
     return []
 
 
+def resolve_mix_dirname(split_dir: pathlib.Path, mix_dirname: str = "mix") -> str:
+    """First existing mixture dir: ``mix``, else the LibriMix condition names.
+
+    Mirrors :func:`utterance_names`'s fallback for every *decode* path —
+    name listing alone is not enough: loaders, duration scans and evaluators
+    all open ``split/mix/<name>`` and must follow the same resolution on
+    generated LibriMix trees that carry only the condition dir (round-4
+    review of commit "Loaders fall back to LibriMix condition dirs")."""
+    split_dir = pathlib.Path(split_dir)
+    candidates = [mix_dirname]
+    if mix_dirname == "mix":
+        candidates += ["mix_clean", "mix_both", "mix_single"]
+    for name in candidates:
+        if (split_dir / name).is_dir():
+            return name
+    return mix_dirname
+
+
 def max_length(
     split_dir: pathlib.Path,
     names: Sequence[str],

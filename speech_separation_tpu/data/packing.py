@@ -47,7 +47,7 @@ import numpy as np
 from ..ops.stft import stft_frame_count
 from .audio_io import wav_duration_samples
 from .datasets import load_utterance_batch
-from .features import utterance_names
+from .features import resolve_mix_dirname, utterance_names
 
 __all__ = ["PackedBatch", "PackedWaveformLoader", "plan_rows"]
 
@@ -144,8 +144,9 @@ class PackedWaveformLoader:
         if not self.names:
             raise ValueError(f"no utterances found under {self.split_dir}")
         self._lengths = []
+        mixdir = resolve_mix_dirname(self.split_dir)
         for n in self.names:
-            frames, rate = wav_duration_samples(self.split_dir / "mix" / n)
+            frames, rate = wav_duration_samples(self.split_dir / mixdir / n)
             if rate != self.sample_rate:
                 # decode resamples (audio_io.audioread): plan with the
                 # decoded length, not the header length, or row placement

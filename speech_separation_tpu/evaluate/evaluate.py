@@ -15,6 +15,7 @@ import pathlib
 import numpy as np
 
 from ..data.audio_io import read_wav
+from ..data.features import resolve_mix_dirname
 from ..metrics.bss_eval import bss_eval_images, bss_eval_sources
 from ..metrics.sisdr import permute_si_sdr
 
@@ -39,7 +40,7 @@ def _load_pairs(
     ``num_speakers=None`` autodetects N from the ``sN`` subdirectories
     (the reference is strictly 2-speaker; n-speaker is beyond-parity)."""
     split_dir = wav_dir / split
-    mix_dir = split_dir / "mix"
+    mix_dir = split_dir / resolve_mix_dirname(split_dir)
     if num_speakers is None:
         num_speakers = _detect_num_speakers(split_dir)
     for name in sorted(p.name for p in mix_dir.glob("*.wav")):
@@ -74,8 +75,9 @@ def eval_si_sdri(
     """
     wav_dir = pathlib.Path(wav_dir)
     improvements = []
+    mixdir = resolve_mix_dirname(wav_dir / split)
     for name, refs, ests in _load_pairs(wav_dir, pathlib.Path(est_dir), split):
-        mix, _ = read_wav(wav_dir / split / "mix" / name)
+        mix, _ = read_wav(wav_dir / split / mixdir / name)
         n = refs[0].size
         mix = mix[:n]
         baseline = np.mean([permute_si_sdr(refs, (mix,) * len(refs))])
@@ -126,9 +128,10 @@ def evaluate_directory(
     """
     wav_dir = pathlib.Path(wav_dir)
     per_utterance: list[dict] = []
+    mixdir = resolve_mix_dirname(wav_dir / split)
     for name, refs, ests in _load_pairs(wav_dir, pathlib.Path(est_dir), split):
         scores = score_pair(refs, ests, flen=flen)
-        mix, _ = read_wav(wav_dir / split / "mix" / name)
+        mix, _ = read_wav(wav_dir / split / mixdir / name)
         mix = mix[: refs[0].size]
         scores["si_sdri"] = scores["si_sdr"] - permute_si_sdr(refs, (mix,) * len(refs))
         per_utterance.append({"name": name, **scores})

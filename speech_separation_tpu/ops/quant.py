@@ -33,8 +33,13 @@ __all__ = ["dequant_i16", "quantize_estimates_i16", "dequantize_estimates_i16"]
 def dequant_i16(wave):
     """On-device inverse of the loaders' int16 transfer (trace-time dtype
     branch: float inputs pass through untouched, so every step/serve
-    function accepts either transfer mode with one implementation)."""
-    if wave.dtype == jnp.int16:
+    function accepts either transfer mode with one implementation).
+
+    int32 is the dynamic-mixing mix lane: the host ships the UNCLIPPED
+    int32 sum of the quantized sources (two loud gained sources can exceed
+    ±32767), same 1/32768 scale — so the dequantized mix still equals the
+    dequantized sources' sum exactly."""
+    if wave.dtype in (jnp.int16, jnp.int32):
         return wave.astype(jnp.float32) * (1.0 / 32768.0)
     return wave
 

@@ -83,6 +83,17 @@ def fit(
             log_fn(f"resumed from checkpoint step {checkpoints.latest_step}")
         except FileNotFoundError:
             pass
+        except ValueError:
+            # optimizer-state structure drift (e.g. the checkpoint predates
+            # the unconditional optax.chain wrapper, or clip/schedule config
+            # changed across chunks): fall back to params-only restore —
+            # optimizer moments restart, which beats dying at startup
+            state = checkpoints.restore_params(state, step=checkpoints.latest_step)
+            epoch_offset = int(checkpoints.latest_step or 0)
+            log_fn(
+                f"resumed PARAMS ONLY from checkpoint step {checkpoints.latest_step} "
+                "(optimizer-state structure drift; moments restart)"
+            )
 
     result = FitResult(state=state, history={"loss": [], "val_loss": []})
     best_state = state
@@ -158,7 +169,11 @@ def fit(
             best_state = jax.device_get(state)
             since_best = 0
             if checkpoints is not None:
-                checkpoints.save_if_best(epoch, state, val_loss)
+                # cumulative step: a resumed chunk must NOT reuse a previous
+                # chunk's step numbers — orbax silently skips saves at an
+                # existing step, which would drop the improved model and make
+                # `latest_step` non-chronological across chunks
+                checkpoints.save_if_best(epoch_offset + epoch, state, val_loss)
         else:
             since_best += 1
             if since_best > patience:

@@ -382,7 +382,46 @@ def test_dynamic_mix_loader_int16(fixture_root):
         transfer_int16=True, seed=1,
     )
     for b in iter(loader):
-        assert b.mix.dtype == np.int16 and b.sources.dtype == np.int16
-        np.testing.assert_array_equal(
-            b.mix.astype(np.int32), b.sources.astype(np.int32).sum(axis=1)
-        )
+        # mix lane is int32: the sum of two gained near-full-scale int16
+        # sources can exceed ±32767 and must NOT be clipped (round-4 review)
+        assert b.mix.dtype == np.int32 and b.sources.dtype == np.int16
+        np.testing.assert_array_equal(b.mix, b.sources.astype(np.int32).sum(axis=1))
+
+
+def test_dynamic_mix_int16_mix_survives_overflow(tmp_path):
+    """Loud sources whose quantized sum exceeds int16 range: the shipped mix
+    must still equal the sources' sum exactly, and the device-side dequant
+    must reproduce the float DM semantics (no flat-topping)."""
+    from speech_separation_tpu.data.audio_io import audiowrite
+    from speech_separation_tpu.data.datasets import WaveformLoader
+    from speech_separation_tpu.ops.quant import dequant_i16
+
+    sr, n = 8000, 4000
+    root = tmp_path / "tr"
+    for d in ("mix", "s1", "s2"):
+        (root / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ("a.wav", "b.wav"):
+        # near-full-scale square-ish sources → gained sums overflow int16
+        s1 = np.sign(rng.standard_normal(n)).astype(np.float32) * 0.98
+        s2 = np.sign(rng.standard_normal(n)).astype(np.float32) * 0.98
+        audiowrite(s1, root / "s1" / name, sr)
+        audiowrite(s2, root / "s2" / name, sr)
+        audiowrite(np.clip(s1 + s2, -1, 1), root / "mix" / name, sr)
+
+    loader = WaveformLoader(
+        root, batch_size=2, shuffle=True, dynamic_mix=True,
+        transfer_int16=True, seed=3,
+    )
+    saw_overflow = False
+    for b in iter(loader):
+        i32sum = b.sources.astype(np.int32).sum(axis=1)
+        np.testing.assert_array_equal(b.mix, i32sum)
+        saw_overflow |= bool(np.abs(i32sum).max() > 32767)
+        # device-side equality: dequant(mix) ≡ Σ dequant(sources)
+        import jax.numpy as jnp
+
+        mix_dev = np.asarray(dequant_i16(jnp.asarray(b.mix)))
+        src_dev = np.asarray(dequant_i16(jnp.asarray(b.sources))).sum(axis=1)
+        np.testing.assert_allclose(mix_dev, src_dev, atol=1e-6)
+    assert saw_overflow  # the regression regime was actually exercised

@@ -145,6 +145,43 @@ def test_utterance_names_librimix_condition_fallback(tmp_path):
     assert utterance_names(split, mix_dirname="mix_both") == []
 
 
+def test_loader_and_evaluate_follow_condition_dir_fallback(tmp_path):
+    """Name listing was not enough (round-4 review): the DECODE paths —
+    WaveformLoader batches, sort_by_length duration scan, evaluate's
+    mixture reads — must all resolve mix_clean on alias-less trees."""
+    import numpy as np
+
+    from speech_separation_tpu.data.audio_io import audiowrite
+    from speech_separation_tpu.data.datasets import WaveformLoader
+    from speech_separation_tpu.evaluate import eval_si_sdri
+
+    sr, n = 8000, 4000
+    split = tmp_path / "tt"
+    for d in ("mix_clean", "s1", "s2"):
+        (split / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    est_dir = tmp_path / "est"
+    est_dir.mkdir()
+    for name in ("a.wav", "b.wav"):
+        s1 = rng.standard_normal(n).astype(np.float32) * 0.1
+        s2 = rng.standard_normal(n).astype(np.float32) * 0.1
+        audiowrite(s1, split / "s1" / name, sr)
+        audiowrite(s2, split / "s2" / name, sr)
+        audiowrite(s1 + s2, split / "mix_clean" / name, sr)
+        stem = name[:-4]
+        audiowrite(s1, est_dir / f"{stem}_s1.wav", sr)
+        audiowrite(s2, est_dir / f"{stem}_s2.wav", sr)
+
+    loader = WaveformLoader(split, batch_size=2, sort_by_length=True)
+    batches = list(loader)
+    assert len(batches) == 1 and batches[0].mix.shape[0] == 2
+    np.testing.assert_allclose(
+        batches[0].mix, batches[0].sources.sum(axis=1), atol=1e-4
+    )
+    # evaluate reads the mixture through the same fallback
+    assert eval_si_sdri(tmp_path, est_dir, split="tt") > 10.0
+
+
 def test_fit_streams_metrics_jsonl(tmp_path):
     """fit(metrics=...) writes per-step losses and per-epoch summaries the
     plots module can render (VERDICT weak #3)."""
@@ -375,6 +412,46 @@ def test_fit_resume_advances_loader_epoch(tmp_path):
     ckpt.close()
     assert tr2.seen[0] >= 1  # NOT a replay of epoch 0
     assert tr2.seen == sorted(tr2.seen)
+
+
+def test_fit_resumed_chunk_saves_at_cumulative_steps(tmp_path):
+    """A resumed chunk must checkpoint at epoch_offset + epoch: orbax
+    silently SKIPS a save at an already-existing step, so run-local epoch
+    numbering loses the resumed chunk's improved model (round-4 review)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+
+    class Loader:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            yield np.zeros((1,), np.float32)
+
+    model_apply = lambda v, x: x
+    params = {"w": jnp.zeros((1,))}
+    state = train.TrainState.create(model_apply, params, train.adam(1e-3), jax.random.key(0))
+    step = lambda s, x: (s, jnp.asarray(0.5))
+    arrays = lambda b: (jnp.asarray(b),)
+
+    # chunk 1: two epochs, val 1.0 then 0.9 → saves at steps 1, 2
+    vals1 = iter([1.0, 0.9])
+    ckpt = train.CheckpointManager(tmp_path / "ck")
+    train.fit(state, step, lambda s, x: jnp.asarray(next(vals1)), Loader(),
+              Loader(), arrays, epochs=2, checkpoints=ckpt)
+    assert ckpt.latest_step == 2
+    # chunk 2 (resumed): val 0.1 at its local epoch 1 — without cumulative
+    # numbering this would collide with step 1 and be silently dropped
+    vals2 = iter([0.1])
+    train.fit(state, step, lambda s, x: jnp.asarray(next(vals2)), Loader(),
+              Loader(), arrays, epochs=1, checkpoints=ckpt, resume=True)
+    assert ckpt.latest_step == 3  # cumulative, chronological
+    assert ckpt.best_step == 3  # the whole-run best model survived
+    ckpt.close()
 
 
 def test_train_step_mfu_matches_bench_convention():
