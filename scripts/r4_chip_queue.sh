@@ -94,7 +94,7 @@ for s in $STAGES; do case $s in
       --codec-dir /tmp/t3tok_hard_ckpt \
       --config scripts/r4_prior_hard_cfg.json \
       --data-root /tmp/data_scale/corpus_hard/wav8k/min \
-      --epochs 20 --checkpoint-dir /tmp/prior_hard_ckpt
+      --epochs 20 --checkpoint-dir /tmp/prior_hard_ckpt --resume
     run prior_sample 1800 python -m speech_separation_tpu.cli prior-sample \
       --prior-dir /tmp/prior_hard_ckpt --seconds 2 --temperature 0.8 \
       --out /tmp/prior_hard_sample.wav
