@@ -425,3 +425,42 @@ def test_dynamic_mix_int16_mix_survives_overflow(tmp_path):
         src_dev = np.asarray(dequant_i16(jnp.asarray(b.sources))).sum(axis=1)
         np.testing.assert_allclose(mix_dev, src_dev, atol=1e-6)
     assert saw_overflow  # the regression regime was actually exercised
+
+
+def test_time_domain_step_accepts_int32_mix_lane():
+    """The jitted train step must dequantize the DM int32 mix with the same
+    1/32768 scale as the int16 sources — loss ≡ the float-path loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    model = ConvTasNet(enc_dim=16, bottleneck=8, hidden=16, blocks=2, repeats=1)
+    rng = jax.random.key(0)
+    params_host = jax.tree.map(
+        np.asarray, model.init(rng, jnp.zeros((1, 8000)))["params"]
+    )
+    ts, _ = train.make_time_domain_steps(model)
+    src16 = np.round(
+        np.random.default_rng(0).standard_normal((2, 2, 8000)) * 3000
+    ).astype(np.int16)
+    mix32 = src16.astype(np.int32).sum(axis=1, dtype=np.int32)
+    fl = jnp.full((2,), 8000, jnp.int32)
+
+    def fresh():
+        return train.TrainState.create(
+            model.apply,
+            jax.tree.map(jnp.asarray, params_host),
+            train.adam(1e-3),
+            jax.random.key(0),
+        )
+
+    _, loss_i = ts(fresh(), jnp.asarray(mix32), jnp.asarray(src16), fl)
+    _, loss_f = ts(
+        fresh(),
+        jnp.asarray(mix32.astype(np.float32) / 32768.0),
+        jnp.asarray(src16.astype(np.float32) / 32768.0),
+        fl,
+    )
+    assert abs(float(loss_i) - float(loss_f)) < 1e-4
