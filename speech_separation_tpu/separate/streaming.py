@@ -57,6 +57,14 @@ class StreamingSeparator:
         self.context = int(round(context_seconds * sample_rate))
         if self.hop <= 0 or self.context < 0:
             raise ValueError("need hop > 0 and context >= 0")
+        if num_speakers > 1 and self.context <= 0:
+            # the history-overlap correlation is the ONLY thing holding the
+            # PIT-trained model's per-window speaker order stable; with no
+            # context every hop could silently swap channels
+            raise ValueError(
+                "multi-speaker streaming needs context_seconds > 0 for "
+                "permutation alignment across hops"
+            )
         self.window = self.context + self.hop
         self._buffer = np.zeros((self.window,), np.float32)  # trailing input
         self._history = np.zeros((num_speakers, 0), np.float32)  # emitted
@@ -110,6 +118,8 @@ def stream_separate(
     import time
 
     mix = np.asarray(mix, np.float32)
+    if mix.ndim == 2 and mix.shape[0] == 1:
+        mix = mix[0]  # accept the loaders' [1, samples] row like the stateful engine
     sep = StreamingSeparator(
         apply_fn,
         num_speakers=num_speakers,

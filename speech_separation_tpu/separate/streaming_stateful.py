@@ -91,6 +91,15 @@ class CausalStreamingSeparator:
     def __init__(self, model, params, hop_samples: int):
         if not model.causal:
             raise ValueError("stateful streaming requires ConvTasNet(causal=True)")
+        if model.dtype is not None and model.dtype != jnp.float32:
+            # the exactness contract (emissions ≡ model.apply) is proven in
+            # fp32; this engine computes fp32 throughout, so a bf16 module
+            # would diverge from its own offline forward — stream the fp32
+            # twin instead (params are dtype-independent)
+            raise ValueError(
+                "stateful streaming computes fp32; construct the fp32 model "
+                f"(dtype=None) for streaming, got dtype={model.dtype}"
+            )
         stride = model.win // 2
         if hop_samples % stride != 0 or hop_samples < model.win:
             raise ValueError(f"hop must be a multiple of {stride} and ≥ {model.win}")
@@ -107,7 +116,7 @@ class CausalStreamingSeparator:
         self._step = functools.partial(_stream_step, model_cfg=_cfg(model))
         self._state = None
         self._batch = None
-        self._emitted_any = False
+        self._flushed = False
 
     def _init_state(self, b: int) -> _State:
         m = self.model
@@ -129,22 +138,37 @@ class CausalStreamingSeparator:
 
     def push(self, hop: np.ndarray) -> np.ndarray:
         """Feed ``[B, hop]`` (or ``[hop]``) samples; returns the newly
-        finalized ``[B, S, n]`` samples (first push emits ``hop − win``,
-        steady pushes emit ``hop``)."""
+        finalized ``[B, S, n]`` samples. The first push emits
+        ``hop − win + stride − pad`` samples (its frames minus the one kept
+        for overlap, minus the decoder's one-time SAME left-pad trim of
+        ``pad = (win − stride) // 2``); steady pushes emit exactly ``hop``."""
+        if self._flushed:
+            raise RuntimeError("push() after flush(): the stream is finalized")
         hop = jnp.atleast_2d(jnp.asarray(hop, jnp.float32))
-        if self._state is None:
+        # `first` derives from _state (single source of truth) and the
+        # one-time left-pad trim applies only after a successful first step
+        first = self._state is None
+        if first:
             self._batch = hop.shape[0]
             self._state = self._init_state(self._batch)
-        first = not self._emitted_any
-        self._emitted_any = True
-        self._state, out = self._step(self.params, self._state, hop, first=first)
+        try:
+            self._state, out = self._step(self.params, self._state, hop, first=first)
+        except Exception:
+            if first:
+                self._state = None  # a retried push is still the first push
+            raise
         return np.asarray(out)
 
     def flush(self) -> np.ndarray:
         """Finalize: push one stride of zero runout (the offline SAME right
         pad) to produce the last frame, then emit the overlap-add tail that
         no future frame can touch. Total stream = offline ``model.apply`` on
-        the hop-padded waveform."""
+        the hop-padded waveform. Call exactly once, after ≥1 push."""
+        if self._state is None:
+            raise RuntimeError("flush() before any push(): nothing to finalize")
+        if self._flushed:
+            raise RuntimeError("flush() called twice: the stream is finalized")
+        self._flushed = True
         zeros = jnp.zeros((self._batch, self.stride), jnp.float32)
         self._state, out = self._step(self.params, self._state, zeros, first=False)
         tail = (

@@ -64,3 +64,28 @@ def test_stateful_requires_causal():
     model = ConvTasNet(**{**TINY, "causal": False})
     with pytest.raises(ValueError):
         CausalStreamingSeparator(model, {}, 160)
+
+
+def test_stateful_rejects_bf16_module():
+    """The exactness contract is fp32; a bf16 module's offline forward would
+    differ from this engine's fp32 compute — reject instead of drifting."""
+    model = ConvTasNet(**TINY, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="fp32"):
+        CausalStreamingSeparator(model, {}, 160)
+
+
+def test_stateful_lifecycle_guards():
+    """flush-before-push, double-flush, and push-after-flush raise clearly
+    instead of crashing mid-jnp or silently corrupting the stream."""
+    model = ConvTasNet(**TINY)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 320)))["params"]
+    sep = CausalStreamingSeparator(model, params, 160)
+    with pytest.raises(RuntimeError, match="before any push"):
+        sep.flush()
+    sep.push(rng.standard_normal(160).astype(np.float32))
+    sep.flush()
+    with pytest.raises(RuntimeError, match="twice"):
+        sep.flush()
+    with pytest.raises(RuntimeError, match="after flush"):
+        sep.push(rng.standard_normal(160).astype(np.float32))
