@@ -207,3 +207,36 @@ def test_causal_tasnet_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_causal_tasnet_bf16_step_tracks_fp32():
+    """The corpus causal stage trains compute_dtype=bf16 (CAUSAL=1 in
+    scripts/tasnet_corpus_run.py); the mixed-precision step on the causal
+    topology (cLN stats stay fp32) must track the fp32 step closely."""
+    m = ConvTasNet(num_speakers=2, win=16, kernel=3, causal=True, **TINY)
+    t = 1600
+    sources = jnp.asarray(RNG.standard_normal((2, 2, t)).astype(np.float32) * 0.1)
+    mix = sources.sum(axis=1)
+    lengths = jnp.asarray([t, t - 200], jnp.int32)
+    params_host = jax.tree.map(np.asarray, m.init(jax.random.key(0), mix)["params"])
+
+    def run(compute_dtype):
+        state = train.TrainState.create(
+            m.apply, jax.tree.map(jnp.asarray, params_host),
+            train.adam(1e-3), jax.random.key(0),
+        )
+        step, _ = train.make_time_domain_steps(
+            m, donate_state=False, compute_dtype=compute_dtype
+        )
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, mix, sources, lengths)
+            losses.append(float(loss))
+        return losses
+
+    fp32 = run(None)
+    bf16 = run(jnp.bfloat16)
+    assert np.isfinite(bf16).all()
+    assert bf16[-1] < bf16[0]
+    # same trajectory within mixed-precision tolerance
+    np.testing.assert_allclose(bf16, fp32, rtol=0.05)
