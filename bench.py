@@ -300,19 +300,44 @@ def _emit(samples: dict, note: str | None, exit_code: int | None) -> None:
     }
     if note:
         extra["error"] = note
-    print(
-        json.dumps(
-            {
-                "metric": "separation_throughput",
-                "value": round(headline, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(headline / 100.0, 4),
-                "floor_ok": floor_ok and complete,
-                "extra": extra,
-            }
-        ),
-        flush=True,
-    )
+    # outage-proof the permanent record (VERDICT r4 item 8): persist every
+    # successful capture to a committed artifact, and cite it in failure
+    # lines so a relay-dead round's 0.0 is self-documenting
+    import pathlib
+
+    lg_path = pathlib.Path(__file__).resolve().parent / "artifacts" / "bench_last_good.json"
+    record = {
+        "metric": "separation_throughput",
+        "value": round(headline, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(headline / 100.0, 4),
+        "floor_ok": floor_ok and complete,
+        "extra": extra,
+    }
+    if note is None and complete and headline > 0:
+        try:
+            import subprocess
+
+            rev = subprocess.run(
+                ["git", "-C", str(lg_path.parent.parent), "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            lg_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = lg_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps({
+                "captured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "git_rev": rev,
+                "record": record,
+            }, indent=1))
+            tmp.replace(lg_path)
+        except Exception:
+            pass  # persistence must never break the one-line contract
+    elif note:
+        try:
+            extra["last_good"] = json.loads(lg_path.read_text())
+        except Exception:
+            extra["last_good"] = None
+    print(json.dumps(record), flush=True)
     if exit_code is not None:
         os._exit(exit_code)
 

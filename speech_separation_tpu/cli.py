@@ -139,36 +139,6 @@ def cmd_train(args) -> None:
         rng = jax.random.key(cfg.seed)
         model = _build_upit_model_from_cfg(cfg)
         params = model.init(rng, _example_input(cfg))["params"]
-        if cfg.lr_schedule == "cosine":
-            # horizon from the split listing (estimate; packed loaders may
-            # differ by a few steps — the cosine tail is insensitive to that)
-            n_utts = len(
-                data.utterance_names(pathlib.Path(cfg.data_root) / cfg.train_split)
-            )
-            steps_per_epoch = max(1, n_utts // cfg.batch_size)
-            horizon_epochs = cfg.sched_epochs or cfg.epochs
-            tx = train.cosine_adam(
-                cfg.learning_rate,
-                total_steps=horizon_epochs * steps_per_epoch,
-                warmup_steps=cfg.lr_warmup_steps,
-                grad_clip_norm=cfg.grad_clip_norm,
-            )
-        else:
-            tx = (
-                train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
-                if cfg.variant == "tasnet"
-                else train.exponential_decay_adam(
-                    cfg.learning_rate,
-                    cfg.lr_decay_steps,
-                    cfg.lr_decay_rate,
-                    grad_clip_norm=cfg.grad_clip_norm,
-                )
-            )
-        state = train.TrainState.create(model.apply, params, tx, rng)
-
-        if cfg.mesh.model > 1 or cfg.mesh.data not in (None, 1):
-            mesh = parallel.make_mesh(cfg.mesh.data, cfg.mesh.model)
-            state = parallel.shard_state(state, mesh, cfg.mesh.tensor_parallel)
 
         if cfg.variant == "blstm":
             train_step, eval_step = train.make_upit_waveform_steps(
@@ -281,6 +251,43 @@ def cmd_train(args) -> None:
                     jnp.asarray(b.sources),
                     jnp.asarray(b.frame_seg),
                 )
+
+        if cfg.lr_schedule == "cosine":
+            if cfg.pack:
+                # packed loaders yield num_rows // rows_per_batch steps — off
+                # from n_utts // batch_size by the packing factor (several ×),
+                # so the horizon must come from the actual loader length
+                steps_per_epoch = max(1, len(make_loader(cfg.train_split, True)))
+            else:
+                # horizon from the split listing (dynamic-mix loaders match it)
+                n_utts = len(
+                    data.utterance_names(pathlib.Path(cfg.data_root) / cfg.train_split)
+                )
+                steps_per_epoch = max(1, n_utts // cfg.batch_size)
+            horizon_epochs = cfg.sched_epochs or cfg.epochs
+            tx = train.cosine_adam(
+                cfg.learning_rate,
+                total_steps=horizon_epochs * steps_per_epoch,
+                warmup_steps=cfg.lr_warmup_steps,
+                grad_clip_norm=cfg.grad_clip_norm,
+            )
+        else:
+            tx = (
+                train.adam(cfg.learning_rate, grad_clip_norm=cfg.grad_clip_norm)
+                if cfg.variant == "tasnet"
+                else train.exponential_decay_adam(
+                    cfg.learning_rate,
+                    cfg.lr_decay_steps,
+                    cfg.lr_decay_rate,
+                    grad_clip_norm=cfg.grad_clip_norm,
+                )
+            )
+        state = train.TrainState.create(model.apply, params, tx, rng)
+
+        if cfg.mesh.model > 1 or cfg.mesh.data not in (None, 1):
+            mesh = parallel.make_mesh(cfg.mesh.data, cfg.mesh.model)
+            state = parallel.shard_state(state, mesh, cfg.mesh.tensor_parallel)
+
         ckpt = train.CheckpointManager(cfg.checkpoint_dir)
         save_config(cfg, pathlib.Path(cfg.checkpoint_dir) / "train_config.json")
         logger = MetricsLogger(pathlib.Path(cfg.checkpoint_dir) / "metrics.jsonl", echo=False)
@@ -672,7 +679,16 @@ def _separate_time_domain(cfg, model, state, args) -> None:
                     "written": written,
                     "out_dir": str(out_dir),
                     "streaming_hop_s": args.streaming_hop_seconds,
+                    # hop is rounded to a stride multiple with a win floor —
+                    # a 10 ms request can become win samples; echo reality
+                    "effective_hop_samples": hop_samples,
+                    "effective_hop_s": round(hop_samples / cfg.stft.sample_rate, 4),
                     "streaming_engine": "stateful_exact" if stateful else "window",
+                    # the exact stateful engine carries state; it needs no
+                    # context window, so that flag is ignored when stateful
+                    "context_seconds": (
+                        None if stateful else args.streaming_context_seconds
+                    ),
                     # first hop per utterance is dropped as compile/warmup;
                     # single-hop utterances leave all_lat empty → null, not NaN
                     "median_hop_latency_ms": (

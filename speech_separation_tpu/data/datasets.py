@@ -324,14 +324,28 @@ class WaveformLoader:
         sources = np.zeros((b, S, padded), dtype=out_dtype)
         for i in range(b):
             ln = int(lengths[i])
+            cuts = []
             for s in range(S):
                 src = decoded[s][i]
                 off = int(dm_rng.integers(0, len(src) - ln + 1))
-                cut = src[off : off + ln] * gains[i, s]
+                cuts.append(src[off : off + ln] * gains[i, s])
+            # ±gain_db can push a near-full-scale source past ±1, where
+            # quantize_i16 would clip and the int16 path would diverge from
+            # float DM; attenuate the whole item (all sources equally, so the
+            # remix stays mix ≡ Σ sources and relative gains are preserved —
+            # SI-SDR targets are scale-invariant to a common item gain).
+            # Applied on BOTH transfer paths to keep them bit-comparable.
+            peak = max(float(np.abs(c).max(initial=0.0)) for c in cuts)
+            if peak > 1.0:
+                # target 32767/32768, not 1.0: +1.0 quantizes asymmetrically
+                # (round→32768→clip→32767, a 1-LSB divergence from the float
+                # path) while every |x| ≤ 32767/32768 round-trips cleanly
+                cuts = [c * (32767.0 / 32768.0 / peak) for c in cuts]
+            for s in range(S):
                 if self.transfer_int16:
-                    sources[i, s, :ln] = quantize_i16(cut)
+                    sources[i, s, :ln] = quantize_i16(cuts[s])
                 else:
-                    sources[i, s, :ln] = cut
+                    sources[i, s, :ln] = cuts[s]
         if self.transfer_int16:
             # mix ships as the UNCLIPPED int32 sum of the quantized sources
             # (±2.5 dB gains can push two near-full-scale sources past

@@ -90,9 +90,26 @@ def fit(
             # optimizer moments restart, which beats dying at startup
             state = checkpoints.restore_params(state, step=checkpoints.latest_step)
             epoch_offset = int(checkpoints.latest_step or 0)
+            # fast-forward the step counter AND optax's schedule count so a
+            # warmup+cosine LR does not replay warmup / retrace the early
+            # high-LR region for the resumed chunk (only the moments restart)
+            est_steps = (
+                epoch_offset * len(train_loader)
+                if hasattr(train_loader, "__len__")
+                else 0
+            )
+            if est_steps and hasattr(state, "step"):
+                import optax.tree_utils as _otu
+
+                count = jax.numpy.asarray(est_steps, jax.numpy.int32)
+                state = state.replace(
+                    step=count,
+                    opt_state=_otu.tree_set(state.opt_state, count=count),
+                )
             log_fn(
                 f"resumed PARAMS ONLY from checkpoint step {checkpoints.latest_step} "
-                "(optimizer-state structure drift; moments restart)"
+                "(optimizer-state structure drift; moments restart, "
+                f"LR schedule fast-forwarded to step {est_steps})"
             )
 
     result = FitResult(state=state, history={"loss": [], "val_loss": []})

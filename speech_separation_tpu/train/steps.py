@@ -352,6 +352,15 @@ def make_time_domain_steps(
     custom_vjp's pallas_call). Parity with the single-device step is
     pinned in ``tests/test_tcn_train_pallas.py``.
     """
+    if pallas_trunk and getattr(model, "causal", False):
+        # the Pallas trunk implements gLN/SAME-padded blocks only; training a
+        # causal-configured model through it would silently produce a gLN
+        # checkpoint whose config claims causal — and the exact stateful
+        # streaming engine would then stream a model never trained causally
+        raise ValueError(
+            "pallas_trunk=True trains the gLN/SAME-padded trunk; "
+            "causal ConvTasNet must train via the XLA path (pallas_trunk=False)"
+        )
     net = model if compute_dtype is None else model.clone(dtype=compute_dtype)
 
     if pallas_trunk:

@@ -464,3 +464,53 @@ def test_time_domain_step_accepts_int32_mix_lane():
         fl,
     )
     assert abs(float(loss_i) - float(loss_f)) < 1e-4
+
+
+def test_dynamic_mix_int16_gained_sources_never_clip(tmp_path):
+    """±gain_db on a near-full-scale source would push it past ±1 where
+    quantize_i16 flat-tops; the loader must attenuate the whole item (both
+    transfer paths identically) so int16 targets stay ≡ float DM targets
+    (round-4 advisor)."""
+    from speech_separation_tpu.data.audio_io import audiowrite
+    from speech_separation_tpu.data.datasets import WaveformLoader
+
+    sr, n = 8000, 4000
+    root = tmp_path / "tr"
+    for d in ("mix", "s1", "s2"):
+        (root / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ("a.wav", "b.wav"):
+        # square-ish full-scale sources: any positive dB gain would clip
+        s1 = np.sign(rng.standard_normal(n)).astype(np.float32) * 0.995
+        s2 = np.sign(rng.standard_normal(n)).astype(np.float32) * 0.995
+        audiowrite(s1, root / "s1" / name, sr)
+        audiowrite(s2, root / "s2" / name, sr)
+        audiowrite(np.clip(s1 + s2, -1, 1), root / "mix" / name, sr)
+
+    kw = dict(batch_size=2, shuffle=True, dynamic_mix=True, seed=5)
+    li = WaveformLoader(root, transfer_int16=True, **kw)
+    lf = WaveformLoader(root, transfer_int16=False, **kw)
+    saw_would_clip = False
+    for bi, bf in zip(iter(li), iter(lf)):
+        # same rng stream -> same pairings/gains/crops on both paths
+        assert bi.sources.dtype == np.int16
+        # no source may sit at the clip rails beyond what true full scale
+        # (1.0 -> 32767) produces; a clipped path would pile mass at ±32767
+        # while the float path keeps the waveform shape
+        deq = bi.sources.astype(np.float32) / 32768.0
+        np.testing.assert_allclose(deq, bf.sources, atol=1.01 / 65536.0)
+        saw_would_clip |= bool(np.abs(bf.sources).max() > 0.99)
+    assert saw_would_clip  # the loud regime was actually exercised
+
+
+def test_causal_pallas_trunk_rejected():
+    """pallas_trunk trains the gLN/SAME trunk; silently training a
+    causal-configured model through it would poison streaming checkpoints
+    (round-4 advisor, medium)."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.models import ConvTasNet
+
+    model = ConvTasNet(causal=True, enc_dim=16, bottleneck=8, hidden=16,
+                       blocks=2, repeats=1)
+    with pytest.raises(ValueError, match="causal"):
+        train.make_time_domain_steps(model, pallas_trunk=True)

@@ -492,3 +492,53 @@ def test_bench_emit_includes_mfu_fields():
     # 1e12 flops/step × (2000/64 steps/s) = 31.25 TFLOP/s
     assert parsed["extra"]["tasnet_train_bf16_audio_s_per_s_tflops"] == 31.2
     assert parsed["extra"]["tasnet_train_bf16_audio_s_per_s_mfu_pct"] == 15.9  # 31.25/197
+
+
+def test_fit_params_only_resume_fast_forwards_schedule(tmp_path):
+    """When full-state restore fails on opt-state structure drift, fit must
+    fast-forward state.step AND optax's schedule count — a warmup+cosine LR
+    must not replay warmup for the resumed chunk (round-4 advisor)."""
+    import optax
+    import optax.tree_utils as otu
+
+    from speech_separation_tpu import train
+
+    apply = lambda v, x: x
+    params = {"w": jnp.full((4,), 7.0)}
+    # legacy writer: bare adam (different opt_state pytree than the reader)
+    legacy = train.TrainState.create(apply, params, optax.adam(1e-3), jax.random.key(0))
+    ckpt = train.CheckpointManager(tmp_path / "ck")
+    ckpt.save_if_best(3, legacy, val_loss=1.0)  # checkpoint step = epoch 3
+    ckpt.close()
+
+    fresh = train.TrainState.create(
+        apply, {"w": jnp.zeros((4,))},
+        train.cosine_adam(1e-3, total_steps=100, warmup_steps=10,
+                          grad_clip_norm=5.0),
+        jax.random.key(1),
+    )
+
+    seen = {}
+
+    def train_step(state, x):
+        seen.setdefault("first_step", int(np.asarray(state.step)))
+        return state.apply_gradients({"w": jnp.ones((4,))}), jnp.float32(0.5)
+
+    def eval_step(state, x):
+        return jnp.float32(0.5)
+
+    loader = [np.zeros((1,), np.float32)] * 5  # len() == 5 steps/epoch
+    ckpt2 = train.CheckpointManager(tmp_path / "ck")
+    res = train.fit(
+        fresh, train_step, eval_step, loader, loader, lambda b: (jnp.asarray(b),),
+        epochs=1, checkpoints=ckpt2, resume=True, log_fn=lambda s: None,
+    )
+    ckpt2.close()
+    # params restored, step fast-forwarded to epoch 3 × 5 steps
+    np.testing.assert_array_equal(np.asarray(res.state.params["w"]) != 0.0, True)
+    assert seen["first_step"] == 15
+    # the optax schedule count advanced too (not just TrainState.step):
+    # 15 fast-forwarded + 5 live steps, in EVERY count-bearing sub-state
+    counts = [int(np.asarray(v))
+              for _, v in otu.tree_get_all_with_path(res.state.opt_state, "count")]
+    assert counts and all(c == 20 for c in counts)
