@@ -63,7 +63,7 @@ s3_chunk() {        # one 20-epoch chunk of 3-speaker at 5k utterances
   harvest three_speaker_5k /tmp/s3_corpus_5k
 }
 
-STAGES="${*:-bench codec_gumbel flagship_1 causal_1 s3_1 mfu prior flagship_2 causal_2 s3_2 flagship_3 causal_3 s3_3 flagship_4 s3_4 flagship_5 codec_rest}"
+STAGES="${*:-bench codec_gumbel mfu flagship_1 causal_1 s3_1 prior dm_ab flagship_2 causal_2 s3_2 flagship_3 causal_3 s3_3 flagship_4 s3_4 flagship_5 codec_rest}"
 
 for s in $STAGES; do case $s in
   bench)
@@ -86,13 +86,11 @@ for s in $STAGES; do case $s in
   causal_*)   causal_chunk "${s#causal_}" ;;
   s3_*)       s3_chunk "${s#s3_}" ;;
   prior)
-    # VERDICT item 2: refresh the CPU-trained t3tok codec on chip, then the
-    # CodePrior on its token streams + entropy calibration + sampled audio
-    run t3tok_hard 5400 python -m speech_separation_tpu.cli train \
-      --workload vqvae --variant t3tok \
-      --config scripts/r4_t3tok_hard_cfg.json \
-      --data-root /tmp/data_scale/corpus_hard/wav8k/min \
-      --epochs 12 --checkpoint-dir /tmp/t3tok_hard_ckpt --resume
+    # VERDICT item 2: CodePrior on the round-4 CPU-trained t3tok codec's
+    # token streams (checkpoint restored from artifacts/t3tok_hard by
+    # scripts/r5_prep.sh — best val 248.19 @ ep38, 40 CPU epochs; the
+    # optional 12-epoch chip refresh is dropped: chip time goes to the
+    # flagship convergence chunks instead) + sampled audio
     run prior_hard 5400 python -m speech_separation_tpu.cli prior-train \
       --codec-dir /tmp/t3tok_hard_ckpt \
       --config scripts/r4_prior_hard_cfg.json \
@@ -103,6 +101,19 @@ for s in $STAGES; do case $s in
       --out /tmp/prior_hard_sample.wav
     harvest t3tok_hard /tmp/t3tok_hard_ckpt
     harvest prior_hard /tmp/prior_hard_ckpt
+    ;;
+  dm_ab)
+    # VERDICT item 3's ablation row: dynamic mixing on/off at MATCHED
+    # epochs/corpus/schedule (the 144-epoch round-3 run is DM-off but
+    # unmatched). 40 epochs each, fresh starts, same cosine horizon.
+    run dm_ab_off 3600 env PROFILE=hard DM=0 INT16=1 \
+      LR_SCHED=cosine WARMUP=500 SCHED_EPOCHS=40 CLIP=5 OUT_TAG=ab_nodm \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 40 pallas 32
+    harvest tasnet_hard_ab_nodm /tmp/tasnet_corpus_hard_ab_nodm
+    run dm_ab_on 3600 env PROFILE=hard DM=1 INT16=1 \
+      LR_SCHED=cosine WARMUP=500 SCHED_EPOCHS=40 CLIP=5 OUT_TAG=ab_dm \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 40 pallas 32
+    harvest tasnet_hard_ab_dm /tmp/tasnet_corpus_hard_ab_dm
     ;;
   mfu)
     # VERDICT item 7: decompose the BLSTM recurrence ceiling + TasNet
