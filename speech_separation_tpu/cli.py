@@ -1051,26 +1051,28 @@ def cmd_prior_train(args) -> None:
 
     entropy = empirical_token_entropy(val_tokens, layout)
     nats = float(result.best_val_loss)
-    print(
-        json.dumps(
-            {
-                "best_val_loss": result.best_val_loss,
-                "best_epoch": result.best_epoch,
-                "windows": int(train_tokens.shape[0]),
-                "vocab": layout.vocab,
-                "deep_codebook": code_metrics(deep_stream, codec_cfg.num_embeddings),
-                "skip_codebook": code_metrics(skip_stream, codec_cfg.skip_embeddings),
-                "prior_calibration": {
-                    "heldout_nats_per_token": round(nats, 4),
-                    "heldout_bits_per_token": round(nats / float(np.log(2.0)), 4),
-                    "heldout_perplexity": round(float(np.exp(nats)), 4),
-                    "unigram_positional_nats": entropy["positional_nats"],
-                    "unigram_marginal_nats": entropy["marginal_nats"],
-                    "context_gain_nats": round(entropy["positional_nats"] - nats, 4),
-                },
-            }
-        )
+    summary = {
+        "best_val_loss": result.best_val_loss,
+        "best_epoch": result.best_epoch,
+        "windows": int(train_tokens.shape[0]),
+        "vocab": layout.vocab,
+        "deep_codebook": code_metrics(deep_stream, codec_cfg.num_embeddings),
+        "skip_codebook": code_metrics(skip_stream, codec_cfg.skip_embeddings),
+        "prior_calibration": {
+            "heldout_nats_per_token": round(nats, 4),
+            "heldout_bits_per_token": round(nats / float(np.log(2.0)), 4),
+            "heldout_perplexity": round(float(np.exp(nats)), 4),
+            "unigram_positional_nats": entropy["positional_nats"],
+            "unigram_marginal_nats": entropy["marginal_nats"],
+            "context_gain_nats": round(entropy["positional_nats"] - nats, 4),
+        },
+    }
+    # persist next to the checkpoint so queue harvests can't strand the
+    # calibration in a log file (round 4 lost a finished run to /tmp)
+    (pathlib.Path(cfg.checkpoint_dir) / "summary.json").write_text(
+        json.dumps(summary, indent=2)
     )
+    print(json.dumps(summary))
 
 
 def cmd_prior_sample(args) -> None:
