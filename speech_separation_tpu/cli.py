@@ -335,8 +335,14 @@ def cmd_train(args) -> None:
         example = jnp.zeros((1, 16, 40)) if stacked else jnp.zeros((1, 64, 1))
         init_rngs = {"params": rng} if stacked else {"params": rng, "gumbel": rng}
         params = model.init(init_rngs, example)["params"]
-        tx = train.nadam(cfg.learning_rate) if cfg.variant in ("t2", "t3", "t3tok") else train.adam(
-            cfg.learning_rate if cfg.variant != "gumbel" else 1e-4
+        # gumbel honors cfg.learning_rate like every other variant: the
+        # reference's from-scratch LR is 1e-3 (`vq-vae_for_1d_data.ipynb
+        # cell 11`); its cell-17 Adam(1e-4) is a fine-tune setting that
+        # measurably never escapes uniform-code collapse from scratch.
+        tx = (
+            train.nadam(cfg.learning_rate)
+            if cfg.variant in ("t2", "t3", "t3tok")
+            else train.adam(cfg.learning_rate)
         )
         state = train.TrainState.create(model.apply, params, tx, rng)
 
