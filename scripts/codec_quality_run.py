@@ -39,16 +39,28 @@ VARIANTS = {
     "t3": (VqVaeT3, dict(stacked=True, stride_alignment=8), lambda: train.nadam(1e-3), 32.95),
     "t2": (VqVaeT2, dict(stacked=True, stride_alignment=4), lambda: train.nadam(1e-3), 29.28),
     "v2": (VqVaeCodebook, dict(stacked=True, stride_alignment=4), lambda: train.adam(1e-3), -18.4),
-    # gumbel LR: the reference's *initial* training LR is 1e-3
-    # (`vq-vae_for_1d_data.ipynb cell 11` ExponentialDecay(1e-3, ...)); its
-    # cell-17/22 Adam(1e-4) is the fine-tune setting for reloaded
-    # checkpoints. From scratch 1e-4 provably never escapes uniform-code
-    # collapse (measured: loss frozen at target power for 4000 steps, CPU
-    # and chip) — the pathwise gradient through 1024-way Gumbel noise is too
-    # weak for Adam's per-step 1e-4 random walk. At 1e-3 the escape happens
-    # within ~50 steps.
-    "gumbel": (VqVaeGumbel, dict(stacked=False), lambda: train.adam(1e-3), 3.55),
+    # gumbel: from-scratch needs a schedule the reference never wrote down
+    # because it only ever fine-tuned checkpoints for ~600 epochs at 1e-4
+    # (`vq-vae_for_1d_data.ipynb` cells 17/22). Measured failure modes from
+    # random init on both CPU and chip: at 1e-4 the codes never escape
+    # uniform (loss frozen at target power for 4000 steps); at 1e-3 with
+    # fixed tau=0.5 + full-strength KL the gradient norm collapses 79 -> <1
+    # within 25 steps as KL(q || uniform) wins and the pathwise gradient
+    # through 1024-way Gumbel noise dies. Fix (standard Gumbel-VAE
+    # practice, topology untouched): clip grads, anneal tau 2.0 -> 0.5,
+    # and warm the KL weight in only after reconstruction has organised
+    # the codebook.
+    "gumbel": (VqVaeGumbel, dict(stacked=False), lambda: train.adam(1e-3, grad_clip_norm=5.0), 3.55),
 }
+
+
+def gumbel_schedule(step):
+    """Traced per-step schedule: tau 2.0->0.5 over 3k steps; KL weight
+    0->1 over steps 500-2500 (recon first, uniform-prior pressure later)."""
+    s = step.astype(jnp.float32)
+    tau = 0.5 + 1.5 * jnp.clip(1.0 - s / 3000.0, 0.0, 1.0)
+    kl = jnp.clip((s - 500.0) / 2000.0, 0.0, 1.0)
+    return {"temperature": tau, "kl_scale": kl}
 
 
 def main():
@@ -73,7 +85,8 @@ def main():
     def loss_flat(preds, t):
         return summed_squared_error(preds.reshape(preds.shape[0], -1, 1), t)
 
-    train_step, eval_step = train.make_vae_steps(model, loss_flat)
+    schedule = gumbel_schedule if VARIANT == "gumbel" else None
+    train_step, eval_step = train.make_vae_steps(model, loss_flat, schedule=schedule)
 
     best = -np.inf
     t0 = time.time()

@@ -49,16 +49,19 @@ flagship_chunk() {  # one 30-epoch resume-safe chunk of the 5k DM flagship
     python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard5k 30 pallas 32
   harvest tasnet_hard_5kdm /tmp/tasnet_corpus_hard_5kdm
 }
-causal_chunk() {    # one 30-epoch chunk of the causal config + streaming eval
-  run "causal_hard_$1" 7200 env PROFILE=hard DM=1 INT16=1 \
-    LR_SCHED=cosine WARMUP=500 SCHED_EPOCHS=90 CLIP=5 CAUSAL=1 \
+causal_chunk() {    # self-contained 45-epoch causal run + streaming eval
+  # (retuned mid-round-5: /tmp wipe lost all resume state, so chunked
+  #  90-epoch horizons would leave the cosine forever unfinished — run
+  #  one complete 45-epoch schedule instead; batch 32 for throughput)
+  run "causal_hard_$1" 4500 env PROFILE=hard DM=1 INT16=1 \
+    LR_SCHED=cosine WARMUP=200 SCHED_EPOCHS=45 CLIP=5 CAUSAL=1 \
     RESUME=1 OUT_TAG=causal \
-    python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 30 xla 16
+    python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 45 xla 32
   harvest tasnet_hard_causal /tmp/tasnet_corpus_hard_causal
 }
-s3_chunk() {        # one 20-epoch chunk of 3-speaker at 5k utterances
-  run "s3_5k_$1" 6500 env TR_UTTS=5000 INT16=1 CLIP=5 DM=1 \
-    LR_SCHED=cosine SCHED_EPOCHS=80 RESUME=1 \
+s3_chunk() {        # self-contained 20-epoch 3-speaker run at 5k utterances
+  run "s3_5k_$1" 4500 env TR_UTTS=5000 INT16=1 CLIP=5 DM=1 \
+    LR_SCHED=cosine SCHED_EPOCHS=20 RESUME=1 \
     python scripts/three_speaker_corpus_run.py /tmp/s3_corpus_5k 20 hard
   harvest three_speaker_5k /tmp/s3_corpus_5k
 }
@@ -105,14 +108,15 @@ for s in $STAGES; do case $s in
   dm_ab)
     # VERDICT item 3's ablation row: dynamic mixing on/off at MATCHED
     # epochs/corpus/schedule (the 144-epoch round-3 run is DM-off but
-    # unmatched). 40 epochs each, fresh starts, same cosine horizon.
-    run dm_ab_off 3600 env PROFILE=hard DM=0 INT16=1 \
-      LR_SCHED=cosine WARMUP=500 SCHED_EPOCHS=40 CLIP=5 OUT_TAG=ab_nodm \
-      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 40 pallas 32
+    # unmatched). 24 epochs each (trimmed mid-round-5 to fit the window),
+    # fresh starts, same completed cosine horizon.
+    run dm_ab_off 2400 env PROFILE=hard DM=0 INT16=1 \
+      LR_SCHED=cosine WARMUP=100 SCHED_EPOCHS=24 CLIP=5 OUT_TAG=ab_nodm \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 24 pallas 32
     harvest tasnet_hard_ab_nodm /tmp/tasnet_corpus_hard_ab_nodm
-    run dm_ab_on 3600 env PROFILE=hard DM=1 INT16=1 \
-      LR_SCHED=cosine WARMUP=500 SCHED_EPOCHS=40 CLIP=5 OUT_TAG=ab_dm \
-      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 40 pallas 32
+    run dm_ab_on 2400 env PROFILE=hard DM=1 INT16=1 \
+      LR_SCHED=cosine WARMUP=100 SCHED_EPOCHS=24 CLIP=5 OUT_TAG=ab_dm \
+      python scripts/tasnet_corpus_run.py /tmp/data_scale/corpus_hard 24 pallas 32
     harvest tasnet_hard_ab_dm /tmp/tasnet_corpus_hard_ab_dm
     ;;
   mfu)

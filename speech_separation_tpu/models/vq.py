@@ -53,13 +53,22 @@ class GumbelSoftmax(nn.Module):
     hard: bool = False
 
     @nn.compact
-    def __call__(self, logits: jnp.ndarray, *, deterministic: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        logits: jnp.ndarray,
+        *,
+        deterministic: bool = False,
+        temperature: jnp.ndarray | float | None = None,
+    ) -> jnp.ndarray:
         if deterministic:
             # predict mode: hard argmax one-hot (reference `for_predict` path)
             one_hot = (logits == jnp.max(logits, axis=-1, keepdims=True)).astype(logits.dtype)
             return one_hot
         rng = self.make_rng("gumbel")
-        return gumbel_softmax(logits, rng, self.temperature, self.hard)
+        # `temperature` may be a traced scalar (annealing schedules change it
+        # every step without recompiling); falls back to the static attr.
+        tau = self.temperature if temperature is None else temperature
+        return gumbel_softmax(logits, rng, tau, self.hard)
 
 
 def nearest_code_indices(

@@ -95,16 +95,31 @@ class VqVaeGumbel(nn.Module):
     def encode_logits(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.logit(self.encoder(x))  # [B, T/32, latent_dim]
 
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        deterministic: bool = False,
+        temperature: jnp.ndarray | float | None = None,
+        kl_scale: jnp.ndarray | float = 1.0,
+    ):
+        """``temperature``/``kl_scale`` accept traced scalars so training can
+        anneal tau and warm up the KL weight per step without recompiling.
+        From-scratch training needs both: the reference's fixed tau=0.5 +
+        full-strength KL(q‖uniform) recipe only converges because it
+        fine-tunes checkpoints for ~600 epochs (`vq-vae_for_1d_data.ipynb`
+        cells 17/22); from random init the KL term's uniform pull dominates
+        the weak pathwise gradient and the codes collapse to uniform
+        (measured: loss frozen at target power for 4000 steps)."""
         logits = self.encode_logits(x)
-        sample = self.gumbel(logits, deterministic=deterministic)
+        sample = self.gumbel(logits, deterministic=deterministic, temperature=temperature)
         decoded = self.out(self.decoder(self.sampled(sample)))
 
         # KL to uniform prior: Σ q (log q − log 1/K), summed over time+codes
         qy = jax.nn.softmax(logits, axis=-1)
         log_qy = jnp.log(qy + 1e-10)
         kl = jnp.sum(qy * (log_qy - jnp.log(1.0 / self.latent_dim)), axis=(1, 2))
-        aux = jnp.mean(kl) * self.kl_weight
+        aux = jnp.mean(kl) * self.kl_weight * kl_scale
         return decoded, [aux]
 
     def codes(self, x: jnp.ndarray) -> jnp.ndarray:

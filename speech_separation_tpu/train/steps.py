@@ -458,13 +458,21 @@ def make_vae_steps(
     model,
     loss_fn: Callable = summed_squared_error,
     donate_state: bool = True,
+    schedule: Callable | None = None,
 ):
     """Steps for the VQ-VAE family: reconstruction loss + the model's own
     auxiliary losses (KL / commitment+codebook), mirroring the reference's
-    ``loss + sum(model.losses)`` (`vq-vae_for_1d_data.ipynb cell 18`)."""
+    ``loss + sum(model.losses)`` (`vq-vae_for_1d_data.ipynb cell 18`).
 
-    def _loss(params, inputs, targets, rng, deterministic):
+    ``schedule``: optional ``step -> dict`` of extra model kwargs applied on
+    the TRAINING forward only (eval stays deterministic/unscheduled). Used by
+    the Gumbel codec to anneal ``temperature`` and warm up ``kl_scale`` with
+    traced scalars — one compiled program for the whole run."""
+
+    def _loss(params, inputs, targets, rng, deterministic, extra_kwargs=None):
         kwargs = dict(deterministic=deterministic)
+        if extra_kwargs:
+            kwargs.update(extra_kwargs)
         rngs = {}
         if not deterministic:
             rngs["gumbel"] = rng
@@ -478,8 +486,9 @@ def make_vae_steps(
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def train_step(state, inputs, targets):
         rng, sub = jax.random.split(state.rng)
+        extra = schedule(state.step) if schedule is not None else None
         (loss, (recon, _)), grads = jax.value_and_grad(_loss, has_aux=True)(
-            state.params, inputs, targets, sub, False
+            state.params, inputs, targets, sub, False, extra
         )
         return state.apply_gradients(grads).replace(rng=rng), loss, recon
 

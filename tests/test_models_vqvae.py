@@ -172,6 +172,50 @@ class TestTopologies:
         assert last < first * 0.8
 
 
+def test_gumbel_vae_schedule_kwargs():
+    """tau / kl_scale accept traced scalars; kl_scale=0 zeroes the KL aux;
+    a higher temperature flattens the sample distribution. Plumbed through
+    ``make_vae_steps(schedule=...)`` so one compiled program anneals the
+    whole run (the from-scratch recipe; see codec_quality_run.py)."""
+    from speech_separation_tpu import train
+    from speech_separation_tpu.losses import summed_squared_error
+
+    model = VqVaeGumbel(latent_dim=16)
+    rng = jax.random.key(0)
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.standard_normal((2, 128, 1)), jnp.float32) * 0.1
+    params = model.init({"params": rng, "gumbel": jax.random.key(1)}, x)
+
+    # kl_scale=0 removes the aux term exactly
+    _, aux0 = model.apply(params, x, rngs={"gumbel": jax.random.key(2)}, kl_scale=jnp.asarray(0.0))
+    _, aux1 = model.apply(params, x, rngs={"gumbel": jax.random.key(2)}, kl_scale=jnp.asarray(1.0))
+    assert float(aux0[0]) == 0.0 and float(aux1[0]) > 0.0
+
+    # hot tau -> flatter samples than cold tau (same rng)
+    def peak(tau):
+        sample = model.apply(
+            params, x, rngs={"gumbel": jax.random.key(3)},
+            temperature=jnp.asarray(tau), method=lambda m, v, **kw: m.gumbel(
+                m.encode_logits(v), **kw),
+        )
+        return float(jnp.mean(jnp.max(sample, axis=-1)))
+    assert peak(5.0) < peak(0.1)
+
+    # schedule plumbs traced step -> kwargs inside the jitted train step
+    def sched(step):
+        s = step.astype(jnp.float32)
+        return {"temperature": 0.5 + 1.5 * jnp.clip(1.0 - s / 10.0, 0.0, 1.0),
+                "kl_scale": jnp.clip(s / 10.0, 0.0, 1.0)}
+
+    state = train.TrainState.create(model.apply, params["params"], train.adam(1e-3, grad_clip_norm=5.0), rng)
+    train_step, eval_step = train.make_vae_steps(model, summed_squared_error, schedule=sched)
+    for _ in range(3):
+        state, loss, _ = train_step(state, x, x)
+    assert np.isfinite(float(loss))
+    # eval stays schedule-free/deterministic
+    assert np.isfinite(float(eval_step(state, x, x)[0]))
+
+
 @pytest.mark.slow
 def test_gumbel_vae_training_reduces_loss():
     from speech_separation_tpu import train
