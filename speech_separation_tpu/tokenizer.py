@@ -297,15 +297,40 @@ def encode_split(
             {"params": codec_params}, frames, method=type(codec_model).codes
         )
 
+    # Pad every batch's frame axis up to a multiple of PAD_QUANT so ``_codes``
+    # compiles a handful of shapes instead of one per distinct padded batch
+    # length. A 1,200-utterance corpus split yields ~300 batches with ~100
+    # distinct padded lengths — per-shape recompiles made corpus-scale
+    # tokenisation take hours on the single-CPU host (the round-4 prior run
+    # died mid-tokenisation with an empty metrics.jsonl because of this).
+    PAD_QUANT = 512
+
     windows: list[np.ndarray] = []
     for batch in loader:
-        deep, skip = _codes(jnp.asarray(batch.inputs))
-        tokens = np.asarray(layout.interleave(deep, skip))
-        n = tokens.shape[1] // seq_len
-        if n:
-            windows.append(
-                tokens[:, : n * seq_len].reshape(tokens.shape[0] * n, seq_len)
-            )
+        x = np.asarray(batch.inputs)
+        k_true = x.shape[1]
+        k_pad = -(-k_true // PAD_QUANT) * PAD_QUANT
+        if k_pad != k_true:
+            pad = np.zeros((x.shape[0], k_pad - k_true) + x.shape[2:], x.dtype)
+            x = np.concatenate([x, pad], axis=1)
+        deep, skip = _codes(jnp.asarray(x))
+        tokens = np.asarray(layout.interleave(deep, skip))  # [B, tokens(k_pad)]
+        rate = tokens.shape[1] / k_pad  # tokens per frame (layout-derived)
+        frame_elems = x.shape[2] if x.ndim == 3 else 1
+        lengths = getattr(batch, "lengths", None)
+        for i in range(tokens.shape[0]):
+            # trim each row to ITS OWN true token length: quantisation padding
+            # and intra-batch padding both encode to silence tokens that would
+            # otherwise pollute the prior's training stream
+            if lengths is not None:
+                t_i = int(int(lengths[i]) // frame_elems * rate)
+            else:
+                t_i = int(k_true * rate)
+            t_i = t_i // layout.group * layout.group
+            row = tokens[i, :t_i]
+            n = row.shape[0] // seq_len
+            if n:
+                windows.append(row[: n * seq_len].reshape(n, seq_len))
     if not windows:
         raise ValueError("no windows produced — utterances shorter than seq_len?")
     return np.concatenate(windows, axis=0)
